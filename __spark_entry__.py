@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship 1-minute rollup on sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator with its
+DuckDB oracle. Operators live in ``streamevmon_spark/``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streamevmon_spark import oracles  # noqa: E402
+from streamevmon_spark.data.transcripts import load_transcripts  # noqa: E402
+from streamevmon_spark.operators import rollup as R  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: per-(conv_id, tool, role) 1-minute rollup with turn
+    counts, exact inter-turn latency percentiles and activity rates."""
+    df = load_transcripts(spark, "/root/testdata/sf0.001")
+    return R.rollup_tier(df, "1m")
+
+
+def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_transcripts(spark, sf_dir)
+
+
+def _q_rollup(tier: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return R.rollup_tier(load_transcripts(spark, sf_dir), tier)
+
+    return q
+
+
+def _q_inter_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.add_inter_turn_latency(load_transcripts(spark, sf_dir)).select(
+        "conv_id", "tool", "role", "turn_idx", "ts", "lat_s"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts": _q_transcripts,
+        "rollup_1m": _q_rollup("1m"),
+        "rollup_1h": _q_rollup("1h"),
+        "rollup_1d": _q_rollup("1d"),
+        "inter_turn_latency": _q_inter_turn_latency,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts": oracles.transcripts_oracle(),
+        "rollup_1m": oracles.rollup_oracle("1m"),
+        "rollup_1h": oracles.rollup_oracle("1h"),
+        "rollup_1d": oracles.rollup_oracle("1d"),
+        "inter_turn_latency": oracles.inter_turn_latency_oracle(),
+    }
