@@ -1,0 +1,214 @@
+"""Gap-fill: regular-grid LOCF and linear interpolation per series.
+
+Semantics (the reference analogue is the detectors' session-gap reset:
+state is dropped when a series is silent longer than inactivityPurgeTime,
+reference: detectors/baseline/BaselineDetector.scala:114-122 — we mirror
+it as "never fill across a gap longer than ``purge_gap_s``"):
+
+For each series (conv_id, tool, role) and each grid instant g (tier
+cadence, epoch-aligned buckets spanning the series' observed range):
+- t0/v0 = time/value of the last non-lossy observation at or before g
+- t1/v1 = time/value of the first non-lossy observation at or after g
+- method='locf':   v = v0                if g - t0 <= purge_gap
+- method='interp': v = v0+(v1-v0)*(g-t0)/(t1-t0)
+                                         if t1 - t0 <= purge_gap
+- otherwise NULL (gap too long / outside observed support)
+- an observation exactly on g yields itself under both methods
+
+Two implementations, asserted identical in tests:
+- ``gap_fill`` — native window functions (last/first ignoreNulls over
+  RANGE frames): stays JVM-side in whole-stage codegen, shuffles once on
+  the series key, and is expressible as the DuckDB oracle. Default.
+- ``gap_fill_pandas`` — the vectorized pandas/Arrow kernel mandated by
+  the north star (applyInPandas + np.searchsorted), the shape used when
+  the fill feeds codec blobs (operators/chunks.py).
+
+Determinism: all grid/t0/t1 math is integer µs; the interpolation
+formula is spelled identically in Spark and DuckDB (bit-exact doubles).
+Duplicate timestamps within a series are canonicalized to the value of
+the highest turn_idx (max_by) before filling.
+
+Scale: one shuffle on the series key; the grid is generated with
+``sequence()`` per series (no cross join); RANGE-frame windows are
+linear per partition. Hot series are bounded by their time span, not
+row count, after the max_by pre-aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from streamevmon_spark.operators.rollup import EPOCH_NTZ, SERIES_KEY, TIERS
+
+DEFAULT_PURGE_GAP_S = 600  # reference default inactivityPurgeTime
+
+
+def _grid_plus_obs(df: DataFrame, step_us: int) -> DataFrame:
+    """Union of per-series grid instants and canonicalized observations."""
+    obs = (
+        df.where(F.col("value").isNotNull())
+        .withColumn(
+            "ts_us", F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)")
+        )
+        .groupBy(*SERIES_KEY, "ts_us")
+        .agg(F.expr("max_by(value, turn_idx)").alias("value"))
+    )
+    bounds = obs.groupBy(*SERIES_KEY).agg(
+        F.expr(f"(min(ts_us) div {step_us}) * {step_us}").alias("__lo"),
+        F.expr(f"(max(ts_us) div {step_us}) * {step_us}").alias("__hi"),
+    )
+    grid = bounds.select(
+        *SERIES_KEY,
+        F.explode(
+            F.sequence("__lo", "__hi", F.lit(step_us).cast("long"))
+        ).alias("ts_us"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+    )
+    return grid.unionByName(obs.withColumn("is_grid", F.lit(0)))
+
+
+def gap_fill(
+    df: DataFrame,
+    tier: str = "1m",
+    method: str = "locf",
+    purge_gap_s: int = DEFAULT_PURGE_GAP_S,
+) -> DataFrame:
+    """Native gap-fill. Returns one row per (series, grid instant):
+    (conv_id, tool, role, grid_ts, value_filled, fill_method)."""
+    step_us = TIERS[tier] * 1_000_000
+    purge_us = purge_gap_s * 1_000_000
+    u = _grid_plus_obs(df, step_us)
+    back = (
+        Window.partitionBy(*SERIES_KEY)
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*SERIES_KEY)
+        .orderBy("ts_us")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("value").isNotNull(), F.col("ts_us"))
+    w = (
+        u.withColumn("v0", F.last("value", ignorenulls=True).over(back))
+        .withColumn("t0", F.last(obs_ts, ignorenulls=True).over(back))
+        .withColumn("v1", F.first("value", ignorenulls=True).over(fwd))
+        .withColumn("t1", F.first(obs_ts, ignorenulls=True).over(fwd))
+        .where(F.col("is_grid") == 1)
+    )
+    if method == "locf":
+        filled = F.when(
+            F.col("t0").isNotNull()
+            & ((F.col("ts_us") - F.col("t0")) <= purge_us),
+            F.col("v0"),
+        )
+    elif method == "interp":
+        frac = (F.col("ts_us") - F.col("t0")).cast("double") / (
+            F.col("t1") - F.col("t0")
+        ).cast("double")
+        filled = F.when(
+            F.col("t0").isNotNull()
+            & F.col("t1").isNotNull()
+            & ((F.col("t1") - F.col("t0")) <= purge_us),
+            F.when(F.col("t1") == F.col("t0"), F.col("v0")).otherwise(
+                F.col("v0") + (F.col("v1") - F.col("v0")) * frac
+            ),
+        )
+    else:
+        raise ValueError(f"unknown gap-fill method {method!r}")
+    fill_method = (
+        F.when(F.col("t0") == F.col("ts_us"), F.lit("obs"))
+        .when(filled.isNotNull(), F.lit(method))
+        .otherwise(F.lit("none"))
+    )
+    return w.select(
+        *SERIES_KEY,
+        F.expr(f"timestampadd(MICROSECOND, ts_us, {EPOCH_NTZ})").alias(
+            "grid_ts"
+        ),
+        filled.alias("value_filled"),
+        fill_method.alias("fill_method"),
+    )
+
+
+def gap_fill_pandas(
+    df: DataFrame,
+    tier: str = "1m",
+    method: str = "locf",
+    purge_gap_s: int = DEFAULT_PURGE_GAP_S,
+) -> DataFrame:
+    """Vectorized pandas/Arrow gap-fill kernel (north-star path): one
+    applyInPandas per series group, NumPy searchsorted inside — no
+    per-row Python."""
+    import pandas as pd  # local import: executors re-import cheaply
+
+    step_us = TIERS[tier] * 1_000_000
+    purge_us = purge_gap_s * 1_000_000
+
+    def fill(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf[pdf["value"].notna()]
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=["conv_id", "tool", "role", "ts_us", "value_filled",
+                         "fill_method"]
+            )
+        pdf = pdf.sort_values(["ts_us", "turn_idx"])
+        # canonicalize duplicate timestamps: highest turn_idx wins
+        pdf = pdf.drop_duplicates("ts_us", keep="last")
+        t = pdf["ts_us"].to_numpy(np.int64)
+        v = pdf["value"].to_numpy(np.float64)
+        lo = (t[0] // step_us) * step_us
+        hi = (t[-1] // step_us) * step_us
+        g = np.arange(lo, hi + step_us, step_us, dtype=np.int64)
+        i0 = np.searchsorted(t, g, side="right") - 1  # last obs <= g
+        i1 = np.searchsorted(t, g, side="left")  # first obs >= g
+        has0, has1 = i0 >= 0, i1 < t.size
+        t0 = np.where(has0, t[np.clip(i0, 0, None)], 0)
+        v0 = np.where(has0, v[np.clip(i0, 0, None)], np.nan)
+        t1 = np.where(has1, t[np.clip(i1, None, t.size - 1)], 0)
+        v1 = np.where(has1, v[np.clip(i1, None, t.size - 1)], np.nan)
+        if method == "locf":
+            ok = has0 & ((g - t0) <= purge_us)
+            out = np.where(ok, v0, np.nan)
+        else:
+            ok = has0 & has1 & ((t1 - t0) <= purge_us)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                frac = (g - t0).astype(np.float64) / (t1 - t0).astype(
+                    np.float64
+                )
+                interp = np.where(t1 == t0, v0, v0 + (v1 - v0) * frac)
+            out = np.where(ok, interp, np.nan)
+        meth = np.where(
+            has0 & (t0 == g), "obs", np.where(ok, method, "none")
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": key[0],
+                "tool": key[1],
+                "role": key[2],
+                "ts_us": g,
+                "value_filled": out,
+                "fill_method": meth,
+            }
+        )
+
+    prepped = df.withColumn(
+        "ts_us", F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)")
+    ).select(*SERIES_KEY, "ts_us", "turn_idx", "value")
+    schema = (
+        "conv_id string, tool string, role string, ts_us long, "
+        "value_filled double, fill_method string"
+    )
+    out = prepped.groupBy(*SERIES_KEY).applyInPandas(fill, schema=schema)
+    return out.select(
+        *SERIES_KEY,
+        F.expr(f"timestampadd(MICROSECOND, ts_us, {EPOCH_NTZ})").alias(
+            "grid_ts"
+        ),
+        "value_filled",
+        "fill_method",
+    )

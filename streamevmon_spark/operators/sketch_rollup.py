@@ -1,0 +1,128 @@
+"""t-digest sketch columns for rollup tiers + incremental sketch cascade.
+
+The scale path for percentiles: exact sorted-array percentiles
+(operators/rollup.py) are correct but holistic — they need every value of
+a window in one place. At 10^12 turns the 1h/1d tiers instead MERGE the
+1m tier's t-digest sketches (mergeable, bounded size ~ compression), so
+coarser tiers never rescan raw data and hot-key salting stays possible
+(sketches merge associatively across salt partitions).
+
+Accuracy is tolerance-tested against the exact percentiles in tests
+(FIXTURES.md §2 "latency_tdigest ... quantile-tolerance tested").
+
+Reference analogue: BaselineDetector's windowed percentile over the last
+maxHistory values (reference: detectors/baseline/BaselineDetector.scala:135-146)
+— unmergeable there; the mergeable sketch is the engine upgrade.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streamevmon_spark.operators.rollup import (
+    EPOCH_NTZ,
+    SERIES_KEY,
+    TIERS,
+    add_inter_turn_latency,
+)
+
+_SKETCH_SCHEMA = (
+    "conv_id string, tool string, role string, window_start_us long, "
+    "latency_tdigest binary"
+)
+
+
+def sketch_tier(df: DataFrame, tier: str = "1m") -> DataFrame:
+    """Per (series, tier window): t-digest sketch of inter-turn latency
+    seconds → BinaryType column ``latency_tdigest``."""
+    win_us = TIERS[tier] * 1_000_000
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from streamevmon_spark.functions.tdigest import TDigest
+
+        lat = pdf["lat_us"].dropna().to_numpy(np.float64) / 1e6
+        td = TDigest.build(lat)
+        return pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "tool": [key[1]],
+                "role": [key[2]],
+                "window_start_us": [key[3]],
+                "latency_tdigest": [td.to_bytes()],
+            }
+        )
+
+    prepped = (
+        add_inter_turn_latency(df)
+        .withColumn(
+            "__w_us",
+            F.expr(
+                f"(datediff(MICROSECOND, {EPOCH_NTZ}, ts) div {win_us})"
+                f" * {win_us}"
+            ),
+        )
+        .select(*SERIES_KEY, "__w_us", "lat_us")
+    )
+    return prepped.groupBy(*SERIES_KEY, "__w_us").applyInPandas(
+        build, schema=_SKETCH_SCHEMA
+    )
+
+
+def cascade_sketches(
+    finer: DataFrame, to_tier: str
+) -> DataFrame:
+    """Merge finer-tier sketches into a coarser tier — the incremental
+    continuous-aggregate maintenance path (no raw rescan)."""
+    win_us = TIERS[to_tier] * 1_000_000
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from streamevmon_spark.functions.tdigest import TDigest
+
+        # canonical merge order: sort blobs for partition-order independence
+        blobs = sorted(bytes(b) for b in pdf["latency_tdigest"])
+        acc = TDigest.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            acc = acc.merge(TDigest.from_bytes(b))
+        return pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "tool": [key[1]],
+                "role": [key[2]],
+                "window_start_us": [key[3]],
+                "latency_tdigest": [acc.to_bytes()],
+            }
+        )
+
+    coarser = finer.withColumn(
+        "__w_us", F.expr(f"(window_start_us div {win_us}) * {win_us}")
+    )
+    return coarser.groupBy(*SERIES_KEY, "__w_us").applyInPandas(
+        merge, schema=_SKETCH_SCHEMA
+    )
+
+
+def sketch_quantiles(
+    sketches: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """Evaluate quantiles out of sketch blobs (read path)."""
+    cols = [f"q{int(q * 100)}" for q in quantiles]
+    schema = (
+        "conv_id string, tool string, role string, window_start_us long, "
+        + ", ".join(f"{c} double" for c in cols)
+    )
+
+    def evaluate(pdf_iter):
+        from streamevmon_spark.functions.tdigest import TDigest
+
+        for pdf in pdf_iter:
+            out = pdf[["conv_id", "tool", "role", "window_start_us"]].copy()
+            tds = [TDigest.from_bytes(bytes(b)) for b in pdf["latency_tdigest"]]
+            for q, c in zip(quantiles, cols):
+                out[c] = [td.quantile(q) for td in tds]
+            yield out
+
+    return sketches.mapInPandas(evaluate, schema=schema)

@@ -105,6 +105,74 @@ FROM grouped
     return with_transcripts(body)
 
 
+def gapfill_oracle(
+    tier: str, method: str, purge_gap_s: int = 600
+) -> str:
+    """Oracle mirror of operators/gapfill.gap_fill — same integer-µs grid,
+    same RANGE-frame LOCF/interp, same spelled-out interpolation."""
+    step_us = TIERS[tier] * 1_000_000
+    purge_us = purge_gap_s * 1_000_000
+    if method == "locf":
+        filled = (
+            f"CASE WHEN t0 IS NOT NULL AND ts_us - t0 <= {purge_us} "
+            "THEN v0 END"
+        )
+    else:
+        filled = (
+            f"CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL "
+            f"AND t1 - t0 <= {purge_us} THEN "
+            "CASE WHEN t1 = t0 THEN v0 "
+            "ELSE v0 + (v1 - v0) * (CAST(ts_us - t0 AS DOUBLE) "
+            "/ CAST(t1 - t0 AS DOUBLE)) END END"
+        )
+    body = f"""
+, obs AS (
+    SELECT conv_id, tool, role, epoch_us(ts) AS ts_us,
+           arg_max(value, turn_idx) AS value
+    FROM transcripts WHERE value IS NOT NULL
+    GROUP BY conv_id, tool, role, epoch_us(ts)
+),
+bounds AS (
+    SELECT conv_id, tool, role,
+           (min(ts_us) // {step_us}) * {step_us} AS lo,
+           (max(ts_us) // {step_us}) * {step_us} AS hi
+    FROM obs GROUP BY conv_id, tool, role
+),
+grid AS (
+    SELECT conv_id, tool, role, unnest(generate_series(lo, hi, {step_us}))
+        AS ts_us, CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+    FROM bounds
+),
+unioned AS (
+    SELECT * FROM grid
+    UNION ALL
+    SELECT conv_id, tool, role, ts_us, value, 0 AS is_grid FROM obs
+),
+w AS (
+    SELECT conv_id, tool, role, ts_us, is_grid,
+        last_value(value IGNORE NULLS) OVER back AS v0,
+        last_value(CASE WHEN value IS NOT NULL THEN ts_us END IGNORE NULLS)
+            OVER back AS t0,
+        first_value(value IGNORE NULLS) OVER fwd AS v1,
+        first_value(CASE WHEN value IS NOT NULL THEN ts_us END IGNORE NULLS)
+            OVER fwd AS t1
+    FROM unioned
+    WINDOW back AS (PARTITION BY conv_id, tool, role ORDER BY ts_us
+        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    fwd AS (PARTITION BY conv_id, tool, role ORDER BY ts_us
+        RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT conv_id, tool, role,
+    make_timestamp(ts_us) AS grid_ts,
+    {filled} AS value_filled,
+    CASE WHEN t0 = ts_us THEN 'obs'
+         WHEN ({filled}) IS NOT NULL THEN '{method}'
+         ELSE 'none' END AS fill_method
+FROM w WHERE is_grid = 1
+"""
+    return with_transcripts(body)
+
+
 def inter_turn_latency_oracle() -> str:
     body = f"""
 , {_LAT_CTE}

@@ -1,0 +1,154 @@
+"""Checkpoint manifest: per-partition lineage, metrics, and resume.
+
+Mirrors the reference's source-offset checkpointing (lastMeasurementTime,
+reference: flink/sources/InfluxAmpSourceFunction.scala:257-275) and its
+snapshot/restore harness tests
+(reference: src/test/scala/.../checkpointing/NoDependencyCheckpointingTests.scala:114-209),
+re-imagined for batch-over-table execution:
+
+- The run is partitioned into time buckets (default 1d of event time —
+  the Iceberg-partition analogue). Each bucket is processed and written
+  independently and idempotently (deterministic output subdir, overwrite
+  = MERGE-like re-run safety, reference: flink/sinks/InfluxSinkFunction.scala:176-213).
+- After each bucket the manifest JSON records lineage (input fingerprint,
+  bucket range, rows in/out) and metrics (wall seconds, turns/sec, top
+  hot conversations = skew evidence).
+- Resume = reload manifest, skip buckets marked done. Tests assert
+  run-all == run-half + resume, byte-identically.
+
+Cross-bucket correctness: inter-turn latency needs each series' last turn
+BEFORE the bucket. A one-pass boundary table (per series per bucket: last
+(ts, turn_idx)) is computed up front and persisted next to the manifest;
+each bucket injects the latest boundary row < bucket for its series —
+exact, and at 100 TB it reads only the tiny boundary table instead of
+rescanning history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamevmon_spark.operators.rollup import (
+    EPOCH_NTZ,
+    SERIES_KEY,
+    TIERS,
+    rollup_tier,
+)
+
+MANIFEST_NAME = "manifest.json"
+BOUNDARY_DIR = "series_boundaries"
+
+
+@dataclass
+class PartitionRecord:
+    part_id: str
+    start_us: int
+    end_us: int
+    status: str = "pending"  # pending | done
+    rows_in: int = 0
+    rows_out: dict = field(default_factory=dict)  # tier -> rows
+    wall_s: float = 0.0
+    turns_per_sec: float = 0.0
+    hot_series: list = field(default_factory=list)  # [(conv_id, rows), ...]
+
+
+@dataclass
+class Manifest:
+    run_id: str
+    input_fingerprint: str
+    tiers: list
+    partitions: list  # list[PartitionRecord]
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Manifest":
+        d = json.loads(s)
+        d["partitions"] = [PartitionRecord(**p) for p in d["partitions"]]
+        return cls(**d)
+
+
+def _fingerprint(path: str) -> str:
+    """Input lineage id: the Iceberg snapshot-id analogue for parquet
+    inputs — path + total size + latest mtime."""
+    total, mtime = 0, 0.0
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                total += st.st_size
+                mtime = max(mtime, st.st_mtime)
+    elif os.path.exists(path):
+        st = os.stat(path)
+        total, mtime = st.st_size, st.st_mtime
+    return f"{path}:{total}:{int(mtime)}"
+
+
+def load_manifest(out_dir: str) -> Manifest | None:
+    p = os.path.join(out_dir, MANIFEST_NAME)
+    if os.path.exists(p):
+        with open(p) as f:
+            return Manifest.from_json(f.read())
+    return None
+
+
+def save_manifest(out_dir: str, m: Manifest) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(m.to_json())
+    os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
+
+
+def plan_partitions(df: DataFrame, bucket_s: int = 86400) -> list[PartitionRecord]:
+    """Split the input's event-time span into epoch-aligned buckets."""
+    b_us = bucket_s * 1_000_000
+    row = df.select(
+        F.expr(f"min(datediff(MICROSECOND, {EPOCH_NTZ}, ts))").alias("lo"),
+        F.expr(f"max(datediff(MICROSECOND, {EPOCH_NTZ}, ts))").alias("hi"),
+    ).collect()[0]
+    if row["lo"] is None:
+        return []
+    lo = (row["lo"] // b_us) * b_us
+    hi = (row["hi"] // b_us) * b_us
+    return [
+        PartitionRecord(
+            part_id=f"p{int(s // b_us):08d}", start_us=int(s),
+            end_us=int(s + b_us),
+        )
+        for s in range(lo, hi + b_us, b_us)
+    ]
+
+
+def build_boundary_table(spark: SparkSession, df: DataFrame, out_dir: str,
+                         bucket_s: int = 86400) -> DataFrame:
+    """One pass: per (series, bucket) the last (ts, turn_idx) — the
+    carried state that makes bucket-local lag() exact."""
+    b_us = bucket_s * 1_000_000
+    path = os.path.join(out_dir, BOUNDARY_DIR)
+    bounds = (
+        df.withColumn(
+            "__ts_us", F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)")
+        )
+        .withColumn("__bucket", F.expr(f"(__ts_us div {b_us}) * {b_us}"))
+        .groupBy(*SERIES_KEY, "__bucket")
+        .agg(
+            F.max(F.struct("__ts_us", "turn_idx")).alias("__last"),
+        )
+        .select(
+            *SERIES_KEY,
+            "__bucket",
+            F.col("__last.__ts_us").alias("last_ts_us"),
+            F.col("__last.turn_idx").alias("last_turn_idx"),
+        )
+    )
+    bounds.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -1,0 +1,83 @@
+"""Chunk compression round-trip + sketch cascade accuracy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from streamevmon_spark.data.transcripts import load_transcripts
+from streamevmon_spark.operators.chunks import (
+    chunk_table,
+    compress_chunks,
+    decompress_chunks,
+)
+from streamevmon_spark.operators.rollup import EPOCH_NTZ, rollup_tier
+from streamevmon_spark.operators.sketch_rollup import (
+    cascade_sketches,
+    sketch_quantiles,
+    sketch_tier,
+)
+
+
+def test_chunk_roundtrip_exact(spark, sf_dir):
+    df = load_transcripts(spark, sf_dir)
+    points = df.where(F.col("value").isNotNull()).select(
+        "conv_id", "tool", "role",
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("ts_us"),
+        "value",
+    )
+    chunks = compress_chunks(points, "1d")
+    back = decompress_chunks(chunks)
+    a = points.orderBy("conv_id", "tool", "role", "ts_us").toPandas()
+    b = back.orderBy("conv_id", "tool", "role", "ts_us").toPandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b)
+
+
+def test_chunk_table_counts(spark, sf_dir):
+    df = load_transcripts(spark, sf_dir)
+    t = chunk_table(df, grid_tier="1h", chunk_tier="1d").toPandas()
+    assert (t["n_points"] > 0).all()
+    assert t["ts_dod"].map(len).gt(4).all()
+    # compression sanity: blob far smaller than 8 bytes/point for the
+    # regular 1h grid
+    bytes_per_pt = t["ts_dod"].map(len).sum() / t["n_points"].sum()
+    assert bytes_per_pt < 4.0
+
+
+def test_sketch_matches_exact_percentiles(spark, sf_dir):
+    df = load_transcripts(spark, sf_dir)
+    exact = rollup_tier(df, "1d").select(
+        "conv_id", "tool", "role",
+        F.expr(
+            f"datediff(MICROSECOND, {EPOCH_NTZ}, window_start)"
+        ).alias("window_start_us"),
+        "lat_p50", "lat_p95",
+    ).toPandas()
+    sk = sketch_quantiles(sketch_tier(df, "1d"), (0.5, 0.95)).toPandas()
+    m = exact.merge(
+        sk, on=["conv_id", "tool", "role", "window_start_us"], how="inner"
+    )
+    ok = m.dropna(subset=["lat_p50", "q50"])
+    rel = np.abs(ok["q50"] - ok["lat_p50"]) / np.maximum(ok["lat_p50"], 1e-9)
+    assert rel.median() < 0.05
+    rel95 = np.abs(ok["q95"] - ok["lat_p95"]) / np.maximum(
+        ok["lat_p95"], 1e-9
+    )
+    assert rel95.median() < 0.1
+
+
+def test_cascade_sketch_close_to_direct(spark, sf_dir):
+    df = load_transcripts(spark, sf_dir)
+    via = sketch_quantiles(
+        cascade_sketches(sketch_tier(df, "1h"), "1d"), (0.5,)
+    ).toPandas()
+    direct = sketch_quantiles(sketch_tier(df, "1d"), (0.5,)).toPandas()
+    m = via.merge(
+        direct,
+        on=["conv_id", "tool", "role", "window_start_us"],
+        suffixes=("_v", "_d"),
+    )
+    ok = m.dropna()
+    rel = np.abs(ok["q50_v"] - ok["q50_d"]) / np.maximum(ok["q50_d"], 1e-9)
+    assert rel.median() < 0.1

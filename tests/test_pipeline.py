@@ -1,0 +1,91 @@
+"""Resume-from-manifest equivalence (FIXTURES.md §5): a halted+resumed
+run must produce outputs identical to a single full run. Mirrors the
+reference's snapshot/restore harness tests
+(reference: checkpointing/NoDependencyCheckpointingTests.scala:114-209)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+
+from streamevmon_spark.data.transcripts import load_transcripts
+from streamevmon_spark.operators.rollup import rollup_tier
+from streamevmon_spark.plans.manifest import load_manifest
+from streamevmon_spark.plans.pipeline import read_rollup, run_pipeline
+
+BUCKET = 7 * 86400  # weekly buckets: multiple of every tier window
+
+
+def _read_sorted(spark, out_dir, tier):
+    df = read_rollup(spark, out_dir, tier).toPandas()
+    return df.sort_values(
+        ["conv_id", "tool", "role", "window_start"], ignore_index=True
+    )
+
+
+def test_full_vs_halted_resumed(spark, sf_dir, tmp_path):
+    df = load_transcripts(spark, sf_dir)
+    full_dir, resume_dir = str(tmp_path / "full"), str(tmp_path / "resumed")
+
+    m_full = run_pipeline(
+        spark, df, full_dir, input_path=sf_dir, tiers=("1h",),
+        bucket_s=BUCKET,
+    )
+    assert all(p.status == "done" for p in m_full.partitions)
+
+    # halted run: stop after 2 buckets, then resume
+    m1 = run_pipeline(
+        spark, df, resume_dir, input_path=sf_dir, tiers=("1h",),
+        bucket_s=BUCKET, stop_after=2,
+    )
+    assert sum(p.status == "done" for p in m1.partitions) == 2
+    m2 = run_pipeline(
+        spark, df, resume_dir, input_path=sf_dir, tiers=("1h",),
+        bucket_s=BUCKET,
+    )
+    assert all(p.status == "done" for p in m2.partitions)
+    assert m2.run_id == m1.run_id  # same manifest resumed, not replanned
+
+    a = _read_sorted(spark, full_dir, "1h")
+    b = _read_sorted(spark, resume_dir, "1h")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pipeline_equals_global_rollup(spark, sf_dir, tmp_path):
+    """Bucketed+boundary-injected execution == one global rollup_tier —
+    the cross-bucket lag is exact."""
+    df = load_transcripts(spark, sf_dir)
+    out = str(tmp_path / "p")
+    run_pipeline(
+        spark, df, out, input_path=sf_dir, tiers=("1h",), bucket_s=BUCKET
+    )
+    got = _read_sorted(spark, out, "1h")
+    exp = (
+        rollup_tier(df, "1h")
+        .toPandas()
+        .sort_values(
+            ["conv_id", "tool", "role", "window_start"], ignore_index=True
+        )
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_manifest_metrics_recorded(spark, sf_dir, tmp_path):
+    df = load_transcripts(spark, sf_dir)
+    out = str(tmp_path / "m")
+    run_pipeline(
+        spark, df, out, input_path=sf_dir, tiers=("1h",), bucket_s=BUCKET
+    )
+    m = load_manifest(out)
+    assert m is not None
+    with open(os.path.join(out, "manifest.json")) as f:
+        raw = json.load(f)
+    for p in raw["partitions"]:
+        assert p["status"] == "done"
+        assert p["rows_in"] > 0
+        assert p["turns_per_sec"] > 0
+        assert len(p["hot_series"]) > 0  # skew metrics present
+    total_in = sum(p["rows_in"] for p in raw["partitions"])
+    assert total_in == df.count()
