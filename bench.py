@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"rollup_1m": sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+Each query is forced end-to-end with a ``noop`` sink write (full
+computation, no driver-side collect — same shape as a cluster job whose
+sink is an Iceberg MERGE). Per-query timings let the driver track which
+operator regresses. Usage:
+
+    python bench.py                 # headline bench, one JSON line
+    python bench.py --scaling      # local[8] vs local[32] scaling evidence
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streamevmon_spark.session import build_spark  # noqa: E402
+
+
+def _force(df) -> int:
+    """Execute a plan fully without collecting rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_bench(sf_dir: str, cpus: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    spark = build_spark(app_name="streamevmon-bench", master=f"local[{cpus}]")
+    qs = entrymod.queries()
+    # Headline set: every operator the driver checks, minus the raw table scan.
+    names = [n for n in qs if n != "transcripts"]
+
+    # Warm the JVM + parquet footer cache with one cheap pass.
+    from streamevmon_spark.data.transcripts import load_transcripts
+
+    transcripts = load_transcripts(spark, sf_dir)
+    n_turns = transcripts.count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        _force(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    rollup_secs = sum(v for k, v in timings.items() if k.startswith("rollup_"))
+    result = {
+        "metric": "rollup+gapfill+codec+sketch suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_turns": n_turns,
+        "turns_per_sec": round(3 * n_turns / rollup_secs, 1) if rollup_secs else None,
+        "cpus": int(cpus),
+    }
+    spark.stop()
+    return result
+
+
+def _scaling_child(sf_dir: str, cpus: str, n_turns: int) -> None:
+    """Child-process body: one full 3-tier rollup over a generated
+    bench-scale transcript table, reporting turns/sec at this parallelism."""
+    from streamevmon_spark.data.transcripts import generate_transcripts
+    from streamevmon_spark.operators.rollup import rollup_tier_salted
+
+    spark = build_spark(
+        app_name=f"streamevmon-scaling-{cpus}", master=f"local[{cpus}]"
+    )
+    df = generate_transcripts(
+        spark, n_turns=n_turns, n_convs=500, partitions=int(cpus) * 2
+    ).persist()
+    df.count()  # materialise input outside the timed region
+    t0 = time.perf_counter()
+    for tier in ("1m", "1h", "1d"):
+        _force(rollup_tier_salted(df, tier))
+    wall = time.perf_counter() - t0
+    print(json.dumps({"cpus": int(cpus), "wall_s": round(wall, 3),
+                      "turns_per_sec": round(3 * n_turns / wall, 1)}))
+    spark.stop()
+
+
+def run_scaling(sf_dir: str, n_turns: int = 2_000_000) -> dict:
+    """Run the identical job at local[8] and local[32] in fresh processes
+    (fresh JVM each — no shared executor state) and report efficiency."""
+    import subprocess
+
+    out = {}
+    for cpus in ("8", "32"):
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cpus),
+             str(n_turns), sf_dir],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        out[f"local[{cpus}]"] = r
+    t8 = out["local[8]"]["turns_per_sec"]
+    t32 = out["local[32]"]["turns_per_sec"]
+    out["speedup_8_to_32"] = round(t32 / t8, 3)
+    out["scaling_efficiency"] = round((t32 / t8) / 4.0, 3)
+    out["n_turns"] = n_turns
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if "--scaling-child" in sys.argv:
+        i = sys.argv.index("--scaling-child")
+        _scaling_child(sys.argv[i + 3], sys.argv[i + 1], int(sys.argv[i + 2]))
+        return
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir), indent=2))
+        return
+    print(json.dumps(run_bench(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()
