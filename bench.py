@@ -47,9 +47,14 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     transcripts = load_transcripts(spark, sf_dir)
     n_turns = transcripts.count()
 
+    # Steady-state timing: first execution of each query additionally pays
+    # one-time JVM/Python page-fault costs (this sandbox faults fresh pages
+    # at ~130 us each — measured 40s+ of pure first-touch overhead on a
+    # 2s query), so run each query once untimed, then time the second run.
     timings: dict[str, float] = {}
     for name in names:
         df = qs[name](spark, sf_dir)
+        _force(df)
         t0 = time.perf_counter()
         _force(df)
         timings[name] = round(time.perf_counter() - t0, 3)

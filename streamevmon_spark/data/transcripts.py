@@ -88,6 +88,9 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversation key, which is exactly the partitioning every downstream
     rollup wants, so Catalyst reuses the exchange.
     """
+    from streamevmon_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     # Normalize to TIMESTAMP_NTZ: tz-naive end-to-end, matching DuckDB's
     # TIMESTAMP semantics and making date_trunc independent of whatever
@@ -121,6 +124,9 @@ def generate_transcripts(
     conversation jumps ``gap_s`` forward to exercise session-gap reset;
     every ``lossy_every``-th row has NULL value (lossy analogue).
     """
+    from streamevmon_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     df = spark.range(0, n_turns, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     h = F.abs(F.xxhash64(F.col("id"), F.lit(seed)))
     hot_cut = int(hot_share * 1_000_000)

@@ -36,28 +36,35 @@ def _cluster(
     means: np.ndarray, weights: np.ndarray, delta: float
 ) -> tuple[np.ndarray, np.ndarray]:
     """Greedy left-to-right merge of (sorted-by-mean) weighted points into
-    centroids bounded by the k1 scale function. Deterministic."""
+    centroids bounded by the k1 scale function. Deterministic.
+
+    Scalar math.asin in the loop (identical IEEE results to np.arcsin on
+    float64 scalars) — the loop runs per input point, so array-allocating
+    per-point k-scale evaluation would dominate sketch builds."""
+    from math import asin, pi
+
     total = float(weights.sum())
+    c = delta / (2.0 * pi)
     out_means: list[float] = []
     out_weights: list[float] = []
     cum = 0.0  # weight before current centroid
     cur_w = float(weights[0])
     cur_sum = float(means[0]) * cur_w
-    for i in range(1, means.size):
-        w = float(weights[i])
+    m = means.tolist()
+    ws = weights.tolist()
+    for i in range(1, len(m)):
+        w = ws[i]
         q0 = cum / total
         q1 = (cum + cur_w + w) / total
-        if _k_scale(np.array([q1]), delta)[0] - _k_scale(
-            np.array([q0]), delta
-        )[0] <= 1.0:
+        if c * (asin(2.0 * q1 - 1.0) - asin(2.0 * q0 - 1.0)) <= 1.0:
             cur_w += w
-            cur_sum += float(means[i]) * w
+            cur_sum += m[i] * w
         else:
             out_means.append(cur_sum / cur_w)
             out_weights.append(cur_w)
             cum += cur_w
             cur_w = w
-            cur_sum = float(means[i]) * w
+            cur_sum = m[i] * w
     out_means.append(cur_sum / cur_w)
     out_weights.append(cur_w)
     return np.asarray(out_means), np.asarray(out_weights)

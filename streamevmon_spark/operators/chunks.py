@@ -6,11 +6,13 @@ plus delta-of-delta timestamp encoding into chunked byte arrays stored as
 blob columns"); ``decompress_chunks`` explodes them back to points —
 round-trip asserted exactly in tests.
 
-Executed as applyInPandas over (series, chunk) groups: Arrow-batched,
-vectorized NumPy bit-packing inside (functions/codecs.py), no per-row
-Python. Chunk windows bound group size (a 1d chunk of a 1m grid is ≤1440
-points), so executor memory stays flat at any table size — the 2 GB
-Arrow group limit can't be hit.
+Execution shape (the scale path): repartition on the full (series,
+chunk) key -> sortWithinPartitions -> mapInPandas, with ALL groups of an
+Arrow batch encoded in ONE vectorized NumPy pass
+(``codecs.gorilla_encode_many`` / ``dod_encode_many``). Python-boundary
+crossings are O(partitions); per-group cost is a bytes-slice. Chunk
+windows bound group size (a 1d chunk of a 1m grid is <=1440 points), so
+executor memory stays flat at any table size.
 
 Input contract: (conv_id, tool, role, ts_us long, value double) — raw
 observations or a gap-filled grid (operators/gapfill.py). Points are
@@ -20,16 +22,47 @@ bit-exactly.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamevmon_spark.operators._partitionwise import (
+    group_starts,
+    partitionwise_apply,
+)
 from streamevmon_spark.operators.rollup import EPOCH_NTZ, SERIES_KEY, TIERS
 
 CHUNK_SCHEMA = (
     "conv_id string, tool string, role string, chunk_us long, "
     "n_points int, ts_dod binary, values_gorilla binary"
 )
+
+_GROUP_KEYS = [*SERIES_KEY, "__chunk"]
+
+
+def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    from streamevmon_spark.functions.codecs import (
+        dod_encode_many,
+        gorilla_encode_many,
+    )
+
+    starts = group_starts(pdf, _GROUP_KEYS)
+    t = pdf["__ts"].to_numpy(np.int64)
+    v = pdf["__val"].to_numpy(np.float64)
+    heads = pdf.iloc[starts]
+    counts = np.diff(np.concatenate([starts, [len(pdf)]]))
+    return pd.DataFrame(
+        {
+            "conv_id": heads["conv_id"].to_numpy(),
+            "tool": heads["tool"].to_numpy(),
+            "role": heads["role"].to_numpy(),
+            "chunk_us": heads["__chunk"].to_numpy(np.int64),
+            "n_points": counts.astype(np.int32),
+            "ts_dod": dod_encode_many(t, starts),
+            "values_gorilla": gorilla_encode_many(v, starts),
+        }
+    )
 
 
 def compress_chunks(
@@ -41,34 +74,13 @@ def compress_chunks(
     """points(series key, ts_us, value) → one row per (series, chunk):
     (…, chunk_us, n_points, ts_dod, values_gorilla)."""
     chunk_us = TIERS[chunk_tier] * 1_000_000
-
-    def encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        from streamevmon_spark.functions.codecs import dod_encode, gorilla_encode
-
-        pdf = pdf.sort_values("__ts")
-        t = pdf["__ts"].to_numpy(np.int64)
-        v = pdf["__val"].to_numpy(np.float64)
-        return pd.DataFrame(
-            {
-                "conv_id": [key[0]],
-                "tool": [key[1]],
-                "role": [key[2]],
-                "chunk_us": [key[3]],
-                "n_points": [t.size],
-                "ts_dod": [dod_encode(t)],
-                "values_gorilla": [gorilla_encode(v)],
-            }
-        )
-
     prepped = points.select(
         *SERIES_KEY,
         F.col(ts_col).alias("__ts"),
         F.col(value_col).cast("double").alias("__val"),
     ).withColumn("__chunk", F.expr(f"(__ts div {chunk_us}) * {chunk_us}"))
-    return prepped.groupBy(*SERIES_KEY, "__chunk").applyInPandas(
-        encode, schema=CHUNK_SCHEMA
+    return partitionwise_apply(
+        prepped, _GROUP_KEYS, ["__ts"], _encode_batch, CHUNK_SCHEMA
     )
 
 
@@ -77,28 +89,24 @@ def decompress_chunks(chunks: DataFrame) -> DataFrame:
     (series key, ts_us, value) point rows."""
 
     def decode(pdf_iter):
-        import numpy as np  # noqa: F401
-
-        from streamevmon_spark.functions.codecs import dod_decode, gorilla_decode
+        from streamevmon_spark.functions.codecs import (
+            dod_decode,
+            gorilla_decode,
+        )
 
         for pdf in pdf_iter:
-            frames = []
-            for r in pdf.itertuples(index=False):
-                t = dod_decode(bytes(r.ts_dod))
-                v = gorilla_decode(bytes(r.values_gorilla))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": r.conv_id,
-                            "tool": r.tool,
-                            "role": r.role,
-                            "ts_us": t,
-                            "value": v,
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            ts = [dod_decode(bytes(b)) for b in pdf["ts_dod"]]
+            vs = [gorilla_decode(bytes(b)) for b in pdf["values_gorilla"]]
+            lens = np.array([len(t) for t in ts], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), lens),
+                    "tool": np.repeat(pdf["tool"].to_numpy(), lens),
+                    "role": np.repeat(pdf["role"].to_numpy(), lens),
+                    "ts_us": np.concatenate(ts) if ts else np.empty(0),
+                    "value": np.concatenate(vs) if vs else np.empty(0),
+                }
+            )
 
     schema = (
         "conv_id string, tool string, role string, ts_us long, value double"

@@ -45,7 +45,17 @@ DEFAULT_PURGE_GAP_S = 600  # reference default inactivityPurgeTime
 
 
 def _grid_plus_obs(df: DataFrame, step_us: int) -> DataFrame:
-    """Union of per-series grid instants and canonicalized observations."""
+    """Union of per-series grid instants and canonicalized observations.
+
+    Each observation row also carries its successor's (ts, value) via
+    lead() — computed over the (small) observation set BEFORE the union —
+    so the fill pass needs only ONE ascending window over the (large)
+    grid+obs union: forward-fill of (value, obs ts, next ts, next value)
+    with four last(ignoreNulls) aggregates sharing a single window spec.
+    The alternative (a second, descending window pass over the union to
+    find the next observation) doubles the sort volume and splits the
+    plan into 4 Window nodes.
+    """
     obs = (
         df.where(F.col("value").isNotNull())
         .withColumn(
@@ -53,6 +63,10 @@ def _grid_plus_obs(df: DataFrame, step_us: int) -> DataFrame:
         )
         .groupBy(*SERIES_KEY, "ts_us")
         .agg(F.expr("max_by(value, turn_idx)").alias("value"))
+    )
+    nxt = Window.partitionBy(*SERIES_KEY).orderBy("ts_us")
+    obs = obs.withColumn("next_ts", F.lead("ts_us").over(nxt)).withColumn(
+        "next_val", F.lead("value").over(nxt)
     )
     bounds = obs.groupBy(*SERIES_KEY).agg(
         F.expr(f"(min(ts_us) div {step_us}) * {step_us}").alias("__lo"),
@@ -64,6 +78,8 @@ def _grid_plus_obs(df: DataFrame, step_us: int) -> DataFrame:
             F.sequence("__lo", "__hi", F.lit(step_us).cast("long"))
         ).alias("ts_us"),
         F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("long").alias("next_ts"),
+        F.lit(None).cast("double").alias("next_val"),
         F.lit(1).alias("is_grid"),
     )
     return grid.unionByName(obs.withColumn("is_grid", F.lit(0)))
@@ -80,24 +96,31 @@ def gap_fill(
     step_us = TIERS[tier] * 1_000_000
     purge_us = purge_gap_s * 1_000_000
     u = _grid_plus_obs(df, step_us)
+    # ONE growing frame (unboundedPreceding → currentRow): incremental,
+    # O(n) per series. All four forward-fills share the same window spec
+    # so Catalyst emits a single Window node over a single sort. t1/v1
+    # (the next observation at-or-after a grid instant g) come from the
+    # carried next_ts/next_val of the last observation at-or-before g —
+    # exactly "first obs >= g" when no obs sits on g, and handled by the
+    # t0 == g case when one does.
     back = (
         Window.partitionBy(*SERIES_KEY)
-        .orderBy("ts_us")
+        .orderBy(F.col("ts_us").asc())
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fwd = (
-        Window.partitionBy(*SERIES_KEY)
-        .orderBy("ts_us")
-        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    u = u.withColumn(
+        "obs_ts", F.when(F.col("value").isNotNull(), F.col("ts_us"))
     )
-    obs_ts = F.when(F.col("value").isNotNull(), F.col("ts_us"))
-    w = (
-        u.withColumn("v0", F.last("value", ignorenulls=True).over(back))
-        .withColumn("t0", F.last(obs_ts, ignorenulls=True).over(back))
-        .withColumn("v1", F.first("value", ignorenulls=True).over(fwd))
-        .withColumn("t1", F.first(obs_ts, ignorenulls=True).over(fwd))
-        .where(F.col("is_grid") == 1)
-    )
+    w = u.select(
+        *SERIES_KEY,
+        "ts_us",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(back).alias("v0"),
+        F.last("obs_ts", ignorenulls=True).over(back).alias("t0"),
+        F.last("next_val", ignorenulls=True).over(back).alias("v1"),
+        F.last("next_ts", ignorenulls=True).over(back).alias("t1"),
+    ).where(F.col("is_grid") == 1)
+    on_obs = F.col("t0") == F.col("ts_us")
     if method == "locf":
         filled = F.when(
             F.col("t0").isNotNull()
@@ -108,13 +131,14 @@ def gap_fill(
         frac = (F.col("ts_us") - F.col("t0")).cast("double") / (
             F.col("t1") - F.col("t0")
         ).cast("double")
-        filled = F.when(
+        # t1 >= ts_us excludes the stale carried next_ts that appears for
+        # grid instants after the LAST observation (no obs >= g exists)
+        filled = F.when(on_obs, F.col("v0")).when(
             F.col("t0").isNotNull()
             & F.col("t1").isNotNull()
+            & (F.col("t1") >= F.col("ts_us"))
             & ((F.col("t1") - F.col("t0")) <= purge_us),
-            F.when(F.col("t1") == F.col("t0"), F.col("v0")).otherwise(
-                F.col("v0") + (F.col("v1") - F.col("v0")) * frac
-            ),
+            F.col("v0") + (F.col("v1") - F.col("v0")) * frac,
         )
     else:
         raise ValueError(f"unknown gap-fill method {method!r}")

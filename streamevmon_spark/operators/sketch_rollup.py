@@ -7,6 +7,12 @@ a window in one place. At 10^12 turns the 1h/1d tiers instead MERGE the
 coarser tiers never rescan raw data and hot-key salting stays possible
 (sketches merge associatively across salt partitions).
 
+Execution shape: partition-wise (operators/_partitionwise.py) — one
+Python crossing per Arrow batch, groups segmented with NumPy; a naive
+per-group applyInPandas here measured ~1.3 ms/group x 98k (series,
+window) groups at sf0.1. Sort within partitions is (keys, window) only;
+each digest build sorts its own values (canonical order).
+
 Accuracy is tolerance-tested against the exact percentiles in tests
 (FIXTURES.md §2 "latency_tdigest ... quantile-tolerance tested").
 
@@ -17,10 +23,15 @@ maxHistory values (reference: detectors/baseline/BaselineDetector.scala:135-146)
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamevmon_spark.operators._partitionwise import (
+    group_starts,
+    partitionwise_apply,
+)
 from streamevmon_spark.operators.rollup import (
     EPOCH_NTZ,
     SERIES_KEY,
@@ -33,28 +44,38 @@ _SKETCH_SCHEMA = (
     "latency_tdigest binary"
 )
 
+_GROUP_KEYS = [*SERIES_KEY, "__w_us"]
+
+
+def _head_frame(pdf: pd.DataFrame, starts: np.ndarray, blobs: list) -> pd.DataFrame:
+    heads = pdf.iloc[starts]
+    return pd.DataFrame(
+        {
+            "conv_id": heads["conv_id"].to_numpy(),
+            "tool": heads["tool"].to_numpy(),
+            "role": heads["role"].to_numpy(),
+            "window_start_us": heads["__w_us"].to_numpy(np.int64),
+            "latency_tdigest": blobs,
+        }
+    )
+
 
 def sketch_tier(df: DataFrame, tier: str = "1m") -> DataFrame:
     """Per (series, tier window): t-digest sketch of inter-turn latency
     seconds → BinaryType column ``latency_tdigest``."""
     win_us = TIERS[tier] * 1_000_000
 
-    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
+    def build_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         from streamevmon_spark.functions.tdigest import TDigest
 
-        lat = pdf["lat_us"].dropna().to_numpy(np.float64) / 1e6
-        td = TDigest.build(lat)
-        return pd.DataFrame(
-            {
-                "conv_id": [key[0]],
-                "tool": [key[1]],
-                "role": [key[2]],
-                "window_start_us": [key[3]],
-                "latency_tdigest": [td.to_bytes()],
-            }
-        )
+        starts = group_starts(pdf, _GROUP_KEYS)
+        ends = np.concatenate([starts[1:], [len(pdf)]])
+        lat = pdf["lat_us"].to_numpy(np.float64) / 1e6  # NaN for nulls
+        blobs = [
+            TDigest.build(lat[s:e]).to_bytes()
+            for s, e in zip(starts, ends)
+        ]
+        return _head_frame(pdf, starts, blobs)
 
     prepped = (
         add_inter_turn_latency(df)
@@ -67,41 +88,39 @@ def sketch_tier(df: DataFrame, tier: str = "1m") -> DataFrame:
         )
         .select(*SERIES_KEY, "__w_us", "lat_us")
     )
-    return prepped.groupBy(*SERIES_KEY, "__w_us").applyInPandas(
-        build, schema=_SKETCH_SCHEMA
+    return partitionwise_apply(
+        prepped, _GROUP_KEYS, [], build_batch, _SKETCH_SCHEMA
     )
 
 
-def cascade_sketches(
-    finer: DataFrame, to_tier: str
-) -> DataFrame:
+def cascade_sketches(finer: DataFrame, to_tier: str) -> DataFrame:
     """Merge finer-tier sketches into a coarser tier — the incremental
     continuous-aggregate maintenance path (no raw rescan)."""
     win_us = TIERS[to_tier] * 1_000_000
 
-    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         from streamevmon_spark.functions.tdigest import TDigest
 
-        # canonical merge order: sort blobs for partition-order independence
-        blobs = sorted(bytes(b) for b in pdf["latency_tdigest"])
-        acc = TDigest.from_bytes(blobs[0])
-        for b in blobs[1:]:
-            acc = acc.merge(TDigest.from_bytes(b))
-        return pd.DataFrame(
-            {
-                "conv_id": [key[0]],
-                "tool": [key[1]],
-                "role": [key[2]],
-                "window_start_us": [key[3]],
-                "latency_tdigest": [acc.to_bytes()],
-            }
-        )
+        starts = group_starts(pdf, _GROUP_KEYS)
+        ends = np.concatenate([starts[1:], [len(pdf)]])
+        col = pdf["latency_tdigest"]
+        out = []
+        for s, e in zip(starts, ends):
+            # canonical merge order: sorted blobs -> partition-order free
+            blobs = sorted(bytes(b) for b in col.iloc[s:e])
+            acc = TDigest.from_bytes(blobs[0])
+            for b in blobs[1:]:
+                acc = acc.merge(TDigest.from_bytes(b))
+            out.append(acc.to_bytes())
+        return _head_frame(pdf, starts, out)
 
-    coarser = finer.withColumn(
-        "__w_us", F.expr(f"(window_start_us div {win_us}) * {win_us}")
+    coarser = finer.select(
+        *SERIES_KEY,
+        F.expr(f"(window_start_us div {win_us}) * {win_us}").alias("__w_us"),
+        "latency_tdigest",
     )
-    return coarser.groupBy(*SERIES_KEY, "__w_us").applyInPandas(
-        merge, schema=_SKETCH_SCHEMA
+    return partitionwise_apply(
+        coarser, _GROUP_KEYS, [], merge_batch, _SKETCH_SCHEMA
     )
 
 

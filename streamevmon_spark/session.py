@@ -14,6 +14,39 @@ import os
 from pyspark.sql import SparkSession
 
 
+_SHIPPED: set[int] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile`` —
+    the programmatic equivalent of ``spark-submit --py-files`` (north
+    rule's launch mode). Without it, any session whose driver process
+    can import us (e.g. via sys.path manipulation) but whose workers
+    cannot would fail to unpickle our pandas-UDF closures, because
+    cloudpickle serializes functions from importable modules by
+    reference. Idempotent per SparkContext; called by every query entry
+    point."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"streamevmon_spark_pyfiles_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(id(sc))
+
+
 def build_spark(
     app_name: str = "streamevmon-spark",
     master: str | None = None,
@@ -27,6 +60,13 @@ def build_spark(
     runs. On a real cluster, pass ``master=None`` with an externally
     supplied master URL via spark-submit and these confs still apply.
     """
+    # glibc returns large (mmap'd) allocations to the OS on free, so every
+    # NumPy batch in a pandas UDF would re-fault its pages — measured 10x
+    # slowdown on the codec kernels in virtualized sandboxes. Keeping big
+    # blocks on the heap lets long-lived Python workers reuse warm pages.
+    # Must be set before the JVM (and its forked python workers) start.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
@@ -42,13 +82,26 @@ def build_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Partition coalescing OFF by default: shuffle partitions are
+        # already sized to the core count here, and AQE's size estimates
+        # under-count compact integer/binary shuffle blocks, coalescing
+        # window/agg stages below the core count (measured 2.5x slowdown
+        # on the gap-fill window stage at local[32]). On a real cluster
+        # at 100 TB, re-enable with advisoryPartitionSizeInBytes=128m so
+        # reducers land in the 64-256 MB band.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config(
+            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824"
+        )
+        .config(
+            "spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
