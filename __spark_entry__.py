@@ -75,6 +75,61 @@ def _q_sketch_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_tier(load_transcripts(spark, sf_dir), "1h")
 
 
+def _q_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.event_grouping import threshold_events
+
+    return threshold_events(load_transcripts(spark, sf_dir), threshold=100.0)
+
+
+def _q_event_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.event_grouping import (
+        group_events_temporal,
+        threshold_events,
+    )
+
+    ev = threshold_events(load_transcripts(spark, sf_dir), threshold=100.0)
+    return group_events_temporal(ev, max_interval_s=10, max_duration_s=7200)
+
+
+def _q_detect(detector: str, **kw):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from streamevmon_spark.operators.detect import detect
+
+        return detect(load_transcripts(spark, sf_dir), detector, **kw)
+
+    return q
+
+
+def _q_detect_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint demo: the Bayesian model starts at variance 1e8
+    (reference NormalDistribution.scala:46), so it reacts to changes on
+    the reference's microsecond-latency scale — embed a deterministic
+    level shift at that scale into each series."""
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.detect import detect
+
+    df = load_transcripts(spark, sf_dir).withColumn(
+        "value",
+        F.when(F.col("turn_idx") < 8, F.lit(10000.0) + F.col("value"))
+        .otherwise(F.lit(40000.0) + F.col("value")),
+    )
+    return detect(
+        df, "changepoint", max_history=8, trigger_count=2,
+        minimum_event_interval_s=0, severity_threshold=20, purge_s=86400,
+    )
+
+
+def _q_frequent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.event_grouping import (
+        frequent_event_filter,
+        threshold_events,
+    )
+
+    ev = threshold_events(load_transcripts(spark, sf_dir), threshold=100.0)
+    return frequent_event_filter(ev, count=5, interval_s=600, cooldown_s=1200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -86,6 +141,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_interp_1h": _q_gapfill("interp"),
         "chunk_table": _q_chunk_table,
         "sketch_1h": _q_sketch_1h,
+        # events layer (reference detectors + post-processing)
+        "threshold_events": _q_threshold,
+        "event_groups": _q_event_groups,
+        "frequent_event_filter": _q_frequent_filter,
+        # sequential detector kernels (reference semantics; pinned-vector
+        # tested in tests/test_detectors.py; rows-only driver check)
+        # windows sized to the short per-series histories of the test data
+        "detect_baseline": _q_detect(
+            "baseline", max_history=5, percentile=0.1, threshold=10,
+            purge_s=86400,
+        ),
+        "detect_spike": _q_detect(
+            "spike", lag=5, threshold=2.0, influence=0.1, purge_s=86400
+        ),
+        "detect_loss": _q_detect("loss", loss_count=3, consecutive_count=2),
+        "detect_mode": _q_detect(
+            "mode", max_history=5, min_frequency=1, min_prominence=0,
+            threshold=0.1, purge_s=86400,
+        ),
+        "detect_distdiff": _q_detect(
+            "distdiff", recents_count=4, drop_extreme_n=0, z_threshold=0.5,
+            minimum_change=1.05, purge_s=86400,
+        ),
+        "detect_changepoint": _q_detect_changepoint,
     }
 
 
@@ -98,5 +177,9 @@ def oracle_sql() -> dict[str, str]:
         "inter_turn_latency": oracles.inter_turn_latency_oracle(),
         "gapfill_locf_1h": oracles.gapfill_oracle("1h", "locf", 7200),
         "gapfill_interp_1h": oracles.gapfill_oracle("1h", "interp", 7200),
+        "threshold_events": oracles.threshold_oracle(100.0),
+        "event_groups": oracles.event_groups_oracle(100.0, 10, 7200),
         # chunk_table / sketch_1h: binary sketch/codec blobs — rows-only
+        # frequent_event_filter / detect_*: sequential stateful kernels
+        # (non-SQL-expressible) — rows-only; semantics pinned in tests
     }

@@ -89,6 +89,10 @@ def _scaling_child(sf_dir: str, cpus: str, n_turns: int) -> None:
         spark, n_turns=n_turns, n_convs=500, partitions=int(cpus) * 2
     ).persist()
     df.count()  # materialise input outside the timed region
+    # one untimed warm-up sweep: JVM heap growth + JIT + shuffle buffer
+    # page faults are one-time costs, not throughput (see run_bench note)
+    for tier in ("1m", "1h", "1d"):
+        _force(rollup_tier_salted(df, tier))
     t0 = time.perf_counter()
     for tier in ("1m", "1h", "1d"):
         _force(rollup_tier_salted(df, tier))
@@ -98,7 +102,7 @@ def _scaling_child(sf_dir: str, cpus: str, n_turns: int) -> None:
     spark.stop()
 
 
-def run_scaling(sf_dir: str, n_turns: int = 2_000_000) -> dict:
+def run_scaling(sf_dir: str, n_turns: int = 8_000_000) -> dict:
     """Run the identical job at local[8] and local[32] in fresh processes
     (fresh JVM each — no shared executor state) and report efficiency."""
     import subprocess

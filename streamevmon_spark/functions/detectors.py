@@ -1,0 +1,773 @@
+"""Reference-semantics anomaly-detector kernels over per-series arrays.
+
+Each kernel is a faithful re-implementation of one streamevmon detector's
+per-key ordered fold, operating on a whole series (values sorted by
+(ts, turn_idx)) at once. They are the sequential cores the north star
+runs inside vectorized pandas/Arrow UDFs (operators/detect.py) — the
+per-point loop is inherent to the algorithms (each step depends on
+mutated state), with NumPy doing the inner per-run / per-window math.
+
+Semantics sources (reference: wandnz/streamevmon @ /root/reference):
+- severity:    events/Event.scala:144-201 (changeMagnitudeSeverity)
+- baseline:    detectors/baseline/BaselineDetector.scala:52-162
+- spike:       detectors/spike/SmoothedZScore.scala:48-120,
+               detectors/spike/SpikeDetector.scala:113-190
+- loss:        detectors/loss/LossDetector.scala:50-193
+- mode:        detectors/mode/ModeDetector.scala:54-448
+- distdiff:    detectors/distdiff/DistDiffLogic.scala:85-240,
+               DistDiffDetector.scala:54-247
+- changepoint: detectors/changepoint/ChangepointLogic.scala:43-178,
+               NormalDistribution.scala:45-95, ChangepointProcessor.scala:56-449
+
+Shared preamble (every detector): reset on first point or when
+ts - last_observed > inactivity purge (session-gap reset); points older
+than last_observed are processed but do not advance it; lossy points
+(NaN value) are skipped per-detector exactly as the reference does.
+
+Known deliberate divergence: ModeDetector's mode tie-break order is
+nondeterministic in the reference (Scala HashMap iteration,
+ModeDetector.scala:176-190); we pin (count desc, value desc) so results
+are reproducible across partitionings.
+
+Defaults mirror src/main/resources/detectorSettings.yaml.
+
+Events are returned as plain dict rows:
+  {idx, event_type, severity, ts_us, detection_latency_us, description}
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "change_magnitude_severity",
+    "smoothed_zscore",
+    "baseline_events",
+    "spike_events",
+    "loss_events",
+    "mode_events",
+    "distdiff_events",
+    "changepoint_events",
+    "DETECTORS",
+]
+
+
+def change_magnitude_severity(old: float, current: float) -> int:
+    """events/Event.scala:144-201 — log-curve change magnitude, 1-100."""
+    mx = max(old, current)
+    mn = min(old, current)
+    if mn < 0.1:
+        basemag = 4.8
+    else:
+        basemag = math.exp(-0.17949 * math.log(mn) + 1.13489)
+    if basemag < 1.1:
+        basemag = 1.1
+    denom = (basemag - 1.0) * mn
+    maybe = 30.0 * ((mx - mn) / denom) if denom != 0 else math.inf
+    if maybe < 1:
+        return 1
+    if maybe > 100:
+        return 100
+    return int(maybe)  # toInt truncates toward zero
+
+
+# ---------------------------------------------------------------- spike
+
+def smoothed_zscore(
+    values: np.ndarray,
+    lag: int = 30,
+    threshold: float = 5.0,
+    influence: float = 0.0,
+) -> np.ndarray:
+    """detectors/spike/SmoothedZScore.scala:48-120 — returns int8 signals
+    (0 none, +1 positive, -1 negative). Population variance; signal
+    values are written back damped by ``influence``."""
+    v = np.asarray(values, dtype=np.float64)
+    n = v.size
+    out = np.zeros(n, dtype=np.int8)
+    hist: list[float] = []
+    last_mean = math.nan
+    last_std = math.nan
+    for i in range(n):
+        x = float(v[i])
+        if len(hist) >= lag and abs(x - last_mean) > threshold * last_std:
+            hist.append(influence * x + (1.0 - influence) * hist[-1])
+            out[i] = 1 if x > last_mean else -1
+        else:
+            hist.append(x)
+        if len(hist) > lag:
+            hist.pop(0)
+        a = np.asarray(hist)
+        last_mean = float(a.mean())
+        last_std = float(math.sqrt(np.mean((a - last_mean) ** 2)))
+    return out
+
+
+def spike_events(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    lag: int = 50,
+    threshold: float = 50.0,
+    influence: float = 0.01,
+    purge_s: int = 60,
+) -> list[dict]:
+    """detectors/spike/SpikeDetector.scala:113-190 — SmoothedZScore with
+    session-gap reset; severity vs the previous non-lossy value."""
+    v = np.asarray(values, dtype=np.float64)
+    t = np.asarray(ts_us, dtype=np.int64)
+    purge_us = purge_s * 1_000_000
+    events: list[dict] = []
+    last_obs: int | None = None
+    last_val: float = math.nan
+    hist: list[float] = []
+    last_mean = math.nan
+    last_std = math.nan
+    for i in range(v.size):
+        x, ti = float(v[i]), int(t[i])
+        if last_obs is None or ti - last_obs > purge_us:
+            last_obs = ti
+            last_val = x  # may be NaN (lossy reset)
+            hist = []
+            last_mean = math.nan
+            last_std = math.nan
+            continue
+        if ti - last_obs >= 0:
+            last_obs = ti
+        if math.isnan(x):
+            continue
+        signal = 0
+        if len(hist) >= lag and abs(x - last_mean) > threshold * last_std:
+            hist.append(influence * x + (1.0 - influence) * hist[-1])
+            signal = 1 if x > last_mean else -1
+        else:
+            hist.append(x)
+        if len(hist) > lag:
+            hist.pop(0)
+        a = np.asarray(hist)
+        last_mean = float(a.mean())
+        last_std = float(math.sqrt(np.mean((a - last_mean) ** 2)))
+        if signal != 0:
+            events.append(
+                {
+                    "idx": i,
+                    "event_type": "spike_events",
+                    "severity": change_magnitude_severity(last_val, x),
+                    "ts_us": ti,
+                    "detection_latency_us": 0,
+                    "description": "Positive" if signal > 0 else "Negative",
+                }
+            )
+        last_val = x
+    return events
+
+
+# ------------------------------------------------------------- baseline
+
+def _commons_math_percentile(sorted_vals: np.ndarray, p: float) -> float:
+    """commons-math3 Percentile LEGACY estimation (p in [0, 100]) — the
+    evaluator BaselineDetector instantiates (BaselineDetector.scala:97)."""
+    n = sorted_vals.size
+    if n == 0:
+        return math.nan
+    if n == 1:
+        return float(sorted_vals[0])
+    pos = p * (n + 1) / 100.0
+    if pos < 1.0:
+        return float(sorted_vals[0])
+    if pos >= n:
+        return float(sorted_vals[-1])
+    f = math.floor(pos)
+    d = pos - f
+    lower = float(sorted_vals[int(f) - 1])
+    upper = float(sorted_vals[int(f)])
+    return lower + d * (upper - lower)
+
+
+def baseline_events(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    max_history: int = 50,
+    percentile: float = 0.10,
+    threshold: float = 25.0,
+    purge_s: int = 600,
+) -> list[dict]:
+    """detectors/baseline/BaselineDetector.scala:52-162 — sliding
+    percentile baseline; event when the baseline's change magnitude
+    exceeds ``threshold``. ``percentile`` is a commons-math percent
+    (0.10 => the 0.1th percentile, i.e. a near-minimum baseline)."""
+    v = np.asarray(values, dtype=np.float64)
+    t = np.asarray(ts_us, dtype=np.int64)
+    purge_us = purge_s * 1_000_000
+    events: list[dict] = []
+    last_obs: int | None = None
+    recents: list[float] = []
+    last_result = 0.0
+    for i in range(v.size):
+        x, ti = float(v[i]), int(t[i])
+        if last_obs is None or ti - last_obs > purge_us:
+            if math.isnan(x):
+                last_obs = None
+            else:
+                last_obs = ti
+                recents = [x]
+            continue
+        if ti - last_obs >= 0:
+            last_obs = ti
+        if math.isnan(x):
+            continue
+        recents.append(x)
+        if len(recents) > max_history:
+            recents.pop(0)
+        result = _commons_math_percentile(
+            np.sort(np.asarray(recents)), percentile
+        )
+        if len(recents) >= max_history:
+            severity = change_magnitude_severity(last_result, result)
+            if severity > threshold:
+                events.append(
+                    {
+                        "idx": i,
+                        "event_type": "baseline_events",
+                        "severity": severity,
+                        "ts_us": ti,
+                        "detection_latency_us": 0,
+                        "description": (
+                            f"Observed baseline changed from {last_result}"
+                            f" to {result}"
+                        ),
+                    }
+                )
+        last_result = result
+    return events
+
+
+# ----------------------------------------------------------------- loss
+
+def loss_events(
+    lossy: np.ndarray,
+    ts_us: np.ndarray,
+    max_history: int = 30,
+    loss_count: int = 10,
+    consecutive_count: int = 5,
+) -> list[dict]:
+    """detectors/loss/LossDetector.scala:50-193 — windowed lossy counts;
+    an event per measurement that worsens either loss metric. No
+    session-gap reset in the reference. Severity reproduces the
+    integer-division quirk (ratio.toInt -> 0 until the window is all
+    loss)."""
+    lz = np.asarray(lossy, dtype=bool)
+    t = np.asarray(ts_us, dtype=np.int64)
+    events: list[dict] = []
+    recents: list[tuple[bool, int]] = []  # (lossy, ts)
+    for i in range(lz.size):
+        old_count = sum(1 for is_l, _ in recents if is_l)
+        recents.append((bool(lz[i]), int(t[i])))
+        if len(recents) > max_history:
+            recents.pop(0)
+        new_consecutive = 0
+        for is_l, _ in reversed(recents):
+            if not is_l:
+                break
+            new_consecutive += 1
+        new_count = sum(1 for is_l, _ in recents if is_l)
+        severity = int(new_consecutive / max_history)
+        if consecutive_count > 0 and new_consecutive >= consecutive_count:
+            oldest_consec = [r for r in recents[-new_consecutive:]][0]
+            events.append(
+                {
+                    "idx": i,
+                    "event_type": "loss_events",
+                    "severity": severity,
+                    "ts_us": int(t[i]),
+                    "detection_latency_us": int(t[i]) - oldest_consec[1],
+                    "description": (
+                        f"Consecutive loss became worse! "
+                        f"{new_consecutive} in a row."
+                    ),
+                }
+            )
+        if loss_count > 0 and new_count > old_count and new_count >= loss_count:
+            # reference quirk: getOldestLoss is recents.reverse.find(lossy)
+            # (LossDetector.scala:110) — despite the name, that is the
+            # NEWEST lossy measurement; reproduced faithfully
+            oldest_loss = next(r for r in reversed(recents) if r[0])
+            events.append(
+                {
+                    "idx": i,
+                    "event_type": "loss_events",
+                    "severity": severity,
+                    "ts_us": int(t[i]),
+                    "detection_latency_us": int(t[i]) - oldest_loss[1],
+                    "description": (
+                        f"Loss ratio became worse! {old_count}/"
+                        f"{len(recents)} -> {new_count}/{len(recents)}"
+                    ),
+                }
+            )
+    return events
+
+
+# ----------------------------------------------------------------- mode
+
+def _scale_2sf_floor(v: int) -> int:
+    """ModeDetector.scala:157-166 — round to 2 significant figures with
+    FLOOR (toward -infinity), preserving magnitude."""
+    if v == 0:
+        return 0
+    d = int(math.floor(math.log10(abs(v)))) + 1
+    if d <= 2:
+        return v
+    q = 10 ** (d - 2)
+    return (v // q) * q  # python floor-div == BigDecimal FLOOR
+
+
+def mode_events(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    max_history: int = 30,
+    min_frequency: int = 6,
+    min_prominence: int = 3,
+    threshold: float = 7.5,
+    purge_s: int = 60,
+) -> list[dict]:
+    """detectors/mode/ModeDetector.scala:54-448 — event when the 2-sig-
+    fig-bucketed mode of the last ``max_history`` values changes with
+    sufficient frequency, prominence and magnitude."""
+    v = np.asarray(values, dtype=np.float64)
+    t = np.asarray(ts_us, dtype=np.int64)
+    purge_us = purge_s * 1_000_000
+    events: list[dict] = []
+    last_obs: int | None = None
+    history: list[int] = []  # raw int values
+    UNSET = -5
+    primary_val, primary_cnt = -1, -2
+    secondary_val, secondary_cnt = -3, -4
+    last_event_val = UNSET
+
+    for i in range(v.size):
+        ti = int(t[i])
+        if last_obs is None or (purge_us > 0 and ti - last_obs > purge_us):
+            last_obs = ti
+            history = []
+            primary_val, primary_cnt = -1, -2
+            secondary_val, secondary_cnt = -3, -4
+            last_event_val = UNSET
+            continue
+        if ti - last_obs >= 0:
+            last_obs = ti
+        if math.isnan(v[i]):
+            continue
+        history.append(int(v[i]))  # Double.toInt truncates toward zero
+        if len(history) > max_history:
+            history.pop(0)
+        # update modes over scaled values; deterministic tie-break
+        counts: dict[int, int] = {}
+        for h in history:
+            s = _scale_2sf_floor(h)
+            counts[s] = counts.get(s, 0) + 1
+        ranked = sorted(
+            counts.items(), key=lambda kv: (kv[1], kv[0]), reverse=True
+        )
+        primary_val, primary_cnt = ranked[0]
+        if len(ranked) > 1:
+            secondary_val, secondary_cnt = ranked[1]
+        else:
+            secondary_val, secondary_cnt = -2, -2
+
+        if len(history) < max_history:
+            continue
+        if last_event_val == primary_val:
+            continue
+        if primary_cnt < min_frequency:
+            continue
+        if primary_cnt - secondary_cnt < min_prominence:
+            continue
+        if not any(_scale_2sf_floor(h) == last_event_val for h in history):
+            last_event_val = primary_val
+            continue
+        # ModeDetector.scala:371-383 — the raw Scala arithmetic is kept:
+        # lastEvent<=0 gives NaN (every comparison false -> gate passes),
+        # lastEvent==1 gives Infinity (gate always blocks)
+        lev = float(last_event_val)
+        if lev > 0:
+            lg = math.log(lev)
+            calc = lev / lg if lg != 0.0 else math.inf
+        else:
+            calc = math.nan
+        thresh = threshold if calc < threshold else calc
+        if abs(last_event_val - primary_val) < thresh:
+            last_event_val = primary_val
+            continue
+        if last_event_val != UNSET:
+            old, cur = last_event_val, primary_val
+
+            def magnitude(x: int) -> int:
+                return 0 if x == 0 else 1 + int(math.floor(math.log10(abs(x))))
+
+            om, cm = magnitude(old), magnitude(cur)
+            scale_factor = om - 1 if om == cm else max(min(om, cm), 1)
+            q = int(math.pow(10, scale_factor - 1))
+            sev = change_magnitude_severity(
+                math.trunc(old / q), math.trunc(cur / q)
+            )
+            events.append(
+                {
+                    "idx": i,
+                    "event_type": "mode_events",
+                    "severity": sev,
+                    "ts_us": ti,
+                    "detection_latency_us": 0,
+                    "description": f"Mode changed from {old} to {cur}!",
+                }
+            )
+        last_event_val = primary_val
+    return events
+
+
+# -------------------------------------------------------------- distdiff
+
+def _dist_diff(
+    old: list[float], rec: list[float], recents_count: int
+) -> float:
+    """DistDiffLogic.scala:85-178 — KS-style max running CDF difference,
+    with the reference's signed-max quirk reproduced exactly."""
+    max_depth = len(old) + len(rec)
+    io = ir = 0
+    depth = 0
+    rdiff = 0.0
+    rdiffmax = 0.0
+    while True:
+        if io >= len(old):
+            newrdiff = rdiff + (-1.0 / recents_count * (max_depth - depth))
+            result = abs(newrdiff) if abs(newrdiff) > rdiffmax else rdiffmax
+            break
+        if ir >= len(rec):
+            newrdiff = rdiff + (1.0 / recents_count * (max_depth - depth))
+            result = abs(newrdiff) if abs(newrdiff) > rdiffmax else rdiffmax
+            break
+        o, r = old[io], rec[ir]
+        if o < r:
+            rdiff -= 1.0 / recents_count
+            if abs(rdiff) > rdiffmax:
+                rdiffmax = rdiff  # signed, as in the reference
+            io += 1
+            depth += 1
+        elif o > r:
+            rdiff += 1.0 / recents_count
+            if abs(rdiff) > rdiffmax:
+                rdiffmax = rdiff
+            ir += 1
+            depth += 1
+        else:
+            while io < len(old) and old[io] == o:
+                io += 1
+            while ir < len(rec) and rec[ir] == r:
+                ir += 1
+            depth += 1
+    wl = max_depth
+    return result * math.sqrt(wl * wl / (wl * 2.0))
+
+
+def distdiff_events(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    recents_count: int = 20,
+    minimum_change: float = 1.05,
+    z_threshold: float = 5.0,
+    drop_extreme_n: int = 2,
+    purge_s: int = 1200,
+) -> list[dict]:
+    """DistDiffDetector.scala:54-247 — distribution difference between
+    the last ``recents_count`` values and the previous ``recents_count``,
+    with in-event hysteresis (exit at z/2)."""
+    v = np.asarray(values, dtype=np.float64)
+    t = np.asarray(ts_us, dtype=np.int64)
+    purge_us = purge_s * 1_000_000
+    events: list[dict] = []
+    last_obs: int | None = None
+    recents: list[float] = []
+    long_recents: list[float] = []
+    times: list[int] = []
+    in_event = False
+    for i in range(v.size):
+        x, ti = float(v[i]), int(t[i])
+        if last_obs is None or ti - last_obs > purge_us:
+            if math.isnan(x):
+                last_obs = None
+            else:
+                last_obs = ti
+                recents = [x]
+                long_recents = []
+                times = [ti]
+                in_event = False
+            continue
+        if ti - last_obs >= 0:
+            last_obs = ti
+        if math.isnan(x):
+            continue
+        recents.append(x)
+        if len(recents) > recents_count:
+            long_recents.append(recents.pop(0))
+        if len(long_recents) > recents_count:
+            long_recents.pop(0)
+        times.append(ti)
+        if len(times) > recents_count + 1:
+            times.pop(0)
+        if len(long_recents) < recents_count:
+            continue
+        if drop_extreme_n:
+            old = sorted(long_recents)[drop_extreme_n:-drop_extreme_n]
+            rec = sorted(recents)[drop_extreme_n:-drop_extreme_n]
+        else:
+            old = sorted(long_recents)
+            rec = sorted(recents)
+        diff = _dist_diff(old, rec, recents_count)
+        severity = None
+        if not in_event and diff >= z_threshold:
+            old_sum, rec_sum = sum(old), sum(rec)
+            old_range = max(old) - min(old)
+            rec_range = max(rec) - min(rec)
+            change = (
+                old_sum / rec_sum if old_sum > rec_sum else rec_sum / old_sum
+            )
+            if not (
+                change < minimum_change
+                or abs(old_sum - rec_sum) < recents_count
+            ):
+                old_mean = old_sum / len(old)
+                rec_mean = rec_sum / len(rec)
+                if not (
+                    rec_range > 0.25 * old_range
+                    and abs(old_mean - rec_mean) < 2 * old_range
+                ):
+                    severity = change_magnitude_severity(
+                        old_mean / 1000.0, rec_mean / 1000.0
+                    )
+        if severity is not None:
+            old_mean = sum(old) / len(old)
+            rec_mean = sum(rec) / len(rec)
+            direction = "increased" if old_mean < rec_mean else "decreased"
+            events.append(
+                {
+                    "idx": i,
+                    "event_type": "distdiff_events",
+                    "severity": severity,
+                    "ts_us": ti,
+                    "detection_latency_us": ti - times[0],
+                    "description": (
+                        f"Distribution has changed. Mean has {direction}"
+                        f" from {old_mean} to {rec_mean}"
+                    ),
+                }
+            )
+            in_event = True
+        if diff < z_threshold / 2.0:
+            in_event = False
+    return events
+
+
+# ----------------------------------------------------------- changepoint
+
+_TOL = 1e-15
+
+
+def _cp_pdf(mean: np.ndarray, var: np.ndarray, y: float) -> np.ndarray:
+    """NormalDistribution.scala:61-79 (zero-variance guard included)."""
+    safe_var = np.where(np.abs(var) <= _TOL, y / 100.0, var)
+    a = 1.0 / (math.sqrt(2.0 * math.pi) * np.sqrt(safe_var))
+    return a * np.exp(-((y - mean) * (y - mean)) / (2.0 * safe_var))
+
+
+def _cp_with_point(
+    mean: np.ndarray, var: np.ndarray, y: float, new_n: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """NormalDistribution.scala:81-94 — incremental mean/variance with the
+    reference's faked n=0 for the first mean update. Vectorized over runs;
+    pinned against DistributionTest.scala:43-80 in tests."""
+    fake_n = np.where(new_n == 1, 0, new_n).astype(np.float64)
+    new_mean = (mean * fake_n + y) / (fake_n + 1.0)
+    diff = (y - new_mean) * (y - mean)
+    new_var = (var * new_n + diff) / (new_n + 1.0)
+    return new_mean, new_var
+
+
+def changepoint_events(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    max_history: int = 60,
+    trigger_count: int = 40,
+    ignore_outlier_normal_count: int = 1,
+    purge_s: int = 60,
+    minimum_event_interval_s: int = 10,
+    severity_threshold: int = 30,
+) -> list[dict]:
+    """Bayesian online changepoint detection (Adams & MacKay style),
+    ChangepointProcessor.scala:240-364 + ChangepointLogic.scala:107-178.
+    Run state is held in parallel NumPy arrays (newest first); per-point
+    updates (pdf, withPoint, squash, normalise) are vectorized over runs.
+
+    NormalDistribution.withPoint quirks reproduced: a run's ``n`` equals
+    its positional index after the update (ChangepointLogic.scala:115),
+    and the first mean update fakes n=0 (NormalDistribution.scala:81-88).
+    """
+    v = np.asarray(values, dtype=np.float64)
+    t = np.asarray(ts_us, dtype=np.int64)
+    purge_us = purge_s * 1_000_000
+    min_interval_us = minimum_event_interval_s * 1_000_000
+    events: list[dict] = []
+
+    # run arrays, index 0 = newest
+    mean = np.empty(0)
+    var = np.empty(0)
+    n = np.empty(0, dtype=np.int64)
+    prob = np.empty(0)
+    start = np.empty(0, dtype=np.int64)
+
+    def runs_update(y: float, ti: int):
+        nonlocal mean, var, n, prob, start
+        k = mean.size
+        if k:
+            pdfs = _cp_pdf(mean, var, y)
+            remaining = float(np.sum(pdfs * prob) * (1.0 / 200.0))
+            new_n = np.arange(k) + 1
+            new_mean, new_var = _cp_with_point(mean, var, y, new_n)
+            new_prob = pdfs * prob * (1.0 - 1.0 / 200.0)
+            mean, var, prob = new_mean, new_var, new_prob
+            n = new_n
+        else:
+            remaining = 0.0
+        # prepend fresh run: initial NormalDistribution(0, 1e8).withPoint(y, 1)
+        mean = np.concatenate([[y], mean])
+        var = np.concatenate([[(1e8 * 1 + (y - y) * (y - 0.0)) / 2.0], var])
+        n = np.concatenate([[1], n]).astype(np.int64)
+        prob = np.concatenate([[remaining], prob])
+        start = np.concatenate([[ti], start]).astype(np.int64)
+        # squash oldest beyond max_history (iterative pairwise merge ==
+        # single fold of the tail probabilities onto the cut-off run)
+        while mean.size > max_history:
+            prob[-2] += prob[-1]
+            mean, var, n = mean[:-1], var[:-1], n[:-1]
+            prob, start = prob[:-1], start[:-1]
+        total = float(prob.sum())
+        if total == 0.0:
+            prob = np.zeros_like(prob)
+            prob[0] = 1.0
+        else:
+            prob = prob / total
+
+    def filtered_argmax(arr: np.ndarray) -> int:
+        if arr.size > 1:
+            return int(np.argmax(arr[:-1]))
+        return 0
+
+    last_obs: int | None = None
+    normal: tuple | None = None  # frozen copy of run arrays
+    composite_old = None  # (mean, start)
+    consecutive_anomalies = 0
+    consecutive_normal_after_outlier = 0
+    prev_most_likely = 0
+    last_event_time: int | None = None
+
+    def reset(ti: int) -> None:
+        nonlocal mean, var, n, prob, start, normal, composite_old
+        nonlocal consecutive_anomalies, consecutive_normal_after_outlier
+        nonlocal prev_most_likely, last_obs
+        mean = np.empty(0)
+        var = np.empty(0)
+        n = np.empty(0, dtype=np.int64)
+        prob = np.empty(0)
+        start = np.empty(0, dtype=np.int64)
+        normal = None
+        composite_old = None
+        consecutive_anomalies = 0
+        consecutive_normal_after_outlier = 0
+        prev_most_likely = 0
+        last_obs = ti
+
+    for i in range(v.size):
+        y, ti = float(v[i]), int(t[i])
+        if math.isnan(y):
+            continue  # lossy rows are filtered before this detector
+        if last_obs is None or (purge_us > 0 and ti - last_obs > purge_us):
+            reset(ti)
+            continue
+        if ti - last_obs >= 0:
+            last_obs = ti
+        if prev_most_likely >= mean.size:
+            prev_most_likely = mean.size - 1
+        if consecutive_anomalies == 0:
+            normal = (mean.copy(), var.copy(), n.copy(), prob.copy(),
+                      start.copy())
+            if mean.size:
+                big = filtered_argmax(n.astype(np.float64))
+                composite_old = (float(mean[big]), int(start[prev_most_likely]))
+            else:
+                composite_old = (0.0, 0)
+        runs_update(y, ti)
+        most_likely = filtered_argmax(prob)
+        if most_likely != prev_most_likely:
+            consecutive_anomalies += 1
+            pdfs = _cp_pdf(mean, var, y)
+            highest_pdf = filtered_argmax(pdfs)
+            if highest_pdf == mean.size - 2:
+                consecutive_normal_after_outlier += 1
+                if consecutive_normal_after_outlier > ignore_outlier_normal_count:
+                    consecutive_anomalies = 0
+                    consecutive_normal_after_outlier = 0
+                    mean, var, n, prob, start = (
+                        normal[0].copy(), normal[1].copy(), normal[2].copy(),
+                        normal[3].copy(), normal[4].copy(),
+                    )
+                    # reference returns here WITHOUT updating
+                    # previousMostLikelyIndex (ChangepointProcessor.scala:317)
+                    runs_update(y, ti)
+                    continue
+            else:
+                consecutive_normal_after_outlier = 0
+        else:
+            consecutive_anomalies = 0
+            consecutive_normal_after_outlier = 0
+        prev_most_likely = most_likely
+        if consecutive_anomalies > trigger_count:
+            new_idx = int(np.flatnonzero(n == 1)[0])
+            new_mean = float(mean[new_idx])
+            old_mean, old_start = composite_old
+            severity = change_magnitude_severity(old_mean, new_mean)
+            if severity > severity_threshold:
+                if (
+                    last_event_time is None
+                    or ti - last_event_time > min_interval_us
+                ):
+                    last_event_time = ti
+                    direction = (
+                        "decreased" if old_mean > new_mean else "increased"
+                    )
+                    events.append(
+                        {
+                            "idx": i,
+                            "event_type": "changepoint_events",
+                            "severity": severity,
+                            "ts_us": ti,
+                            "detection_latency_us": ti - old_start,
+                            "description": (
+                                f"Latency {direction} from {int(old_mean)}"
+                                f" to {int(new_mean)}"
+                            ),
+                        }
+                    )
+                reset(ti)
+                continue
+            consecutive_anomalies = 0
+    return events
+
+
+DETECTORS = {
+    "baseline": baseline_events,
+    "spike": spike_events,
+    "loss": loss_events,
+    "mode": mode_events,
+    "distdiff": distdiff_events,
+    "changepoint": changepoint_events,
+}

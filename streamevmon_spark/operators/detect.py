@@ -1,0 +1,115 @@
+"""Spark operators running the reference-semantics detectors per series.
+
+``detect(df, detector, **params)`` applies one of the six kernels
+(functions/detectors.py) to every (conv_id, tool, role) series and
+returns an Event DataFrame mirroring the reference's Event row
+(reference: events/Event.scala:63-71): event_type, stream key columns,
+severity (0-100), event time, detection latency, description.
+
+Execution: partition-wise (operators/_partitionwise.py) — series are
+hash-repartitioned, sorted by the stable (ts, turn_idx) order inside
+partitions (the reference replays window elements sorted by time,
+WindowedFunctionWrapper.scala:72), and each Arrow batch of complete
+series runs the kernels with NumPy inner math. A detector kernel sees
+its whole series in one call — the batch analogue of Flink keyed state.
+
+``union_events`` merges detector outputs (the reference unions all
+detector streams per sink, runners/unified/YamlDagRunner.scala:259-263).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streamevmon_spark.functions.detectors import DETECTORS
+from streamevmon_spark.operators._partitionwise import (
+    group_starts,
+    partitionwise_apply,
+)
+from streamevmon_spark.operators.rollup import EPOCH_NTZ, SERIES_KEY
+
+EVENT_SCHEMA = (
+    "event_type string, conv_id string, tool string, role string, "
+    "severity int, ts timestamp_ntz, detection_latency_us long, "
+    "description string"
+)
+
+
+def detect(df: DataFrame, detector: str, **params) -> DataFrame:
+    """Run one detector over every (conv_id, tool, role) series."""
+    if detector not in DETECTORS:
+        raise ValueError(
+            f"unknown detector {detector!r}; have {sorted(DETECTORS)}"
+        )
+    kernel = DETECTORS[detector]
+
+    def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        starts = group_starts(pdf, SERIES_KEY)
+        ends = np.concatenate([starts[1:], [len(pdf)]])
+        ts = pdf["__ts_us"].to_numpy(np.int64)
+        vals = pdf["value"].to_numpy(np.float64)
+        rows: list[dict] = []
+        for s, e in zip(starts, ends):
+            head = pdf.iloc[s]
+            if detector == "loss":
+                evs = kernel(np.isnan(vals[s:e]), ts[s:e], **params)
+            else:
+                evs = kernel(vals[s:e], ts[s:e], **params)
+            for ev in evs:
+                rows.append(
+                    {
+                        "event_type": ev["event_type"],
+                        "conv_id": head["conv_id"],
+                        "tool": head["tool"],
+                        "role": head["role"],
+                        "severity": ev["severity"],
+                        "ts_us": ev["ts_us"],
+                        "detection_latency_us": ev["detection_latency_us"],
+                        "description": ev["description"],
+                    }
+                )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "conv_id", "tool", "role", "severity",
+                "ts_us", "detection_latency_us", "description",
+            ],
+        )
+        out["ts"] = pd.to_datetime(out["ts_us"].astype("int64"), unit="us")
+        out["severity"] = out["severity"].astype("int32")
+        return out[
+            ["event_type", "conv_id", "tool", "role", "severity", "ts",
+             "detection_latency_us", "description"]
+        ]
+
+    prepped = df.select(
+        *SERIES_KEY,
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("__ts_us"),
+        F.col("turn_idx"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return partitionwise_apply(
+        prepped, SERIES_KEY, ["__ts_us", "turn_idx"], run_batch, EVENT_SCHEMA
+    )
+
+
+def detect_all(df: DataFrame, detectors: list[str] | None = None) -> DataFrame:
+    """Run several detectors (default config) and union their events —
+    the LatencyTSAllDetectors lifecycle (reference:
+    runners/examples/LatencyTSAllDetectors.scala:59-138)."""
+    names = detectors or sorted(DETECTORS)
+    out = None
+    for name in names:
+        ev = detect(df, name)
+        out = ev if out is None else out.unionByName(ev)
+    return out
+
+
+def union_events(*event_dfs: DataFrame) -> DataFrame:
+    out = event_dfs[0]
+    for df in event_dfs[1:]:
+        out = out.unionByName(df)
+    return out

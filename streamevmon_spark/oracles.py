@@ -181,3 +181,38 @@ SELECT conv_id, tool, role, turn_idx, ts,
 FROM lat
 """
     return with_transcripts(body)
+
+
+def threshold_oracle(threshold: float = 100.0, severity: int = 100) -> str:
+    """SimpleThresholdDetector analogue (stateless predicate)."""
+    return with_transcripts(
+        "SELECT 'threshold_events' AS event_type, conv_id, tool, role, "
+        f"CAST({severity} AS INTEGER) AS severity, ts, value "
+        f"FROM transcripts WHERE value > {threshold}"
+    )
+
+
+def event_groups_oracle(
+    threshold: float = 100.0,
+    max_interval_s: int = 10,
+    max_duration_s: int = 7200,
+) -> str:
+    """Temporal session grouping over threshold events — the full
+    gaps-and-islands pipeline in DuckDB (operators/event_grouping.py)."""
+    from streamevmon_spark.operators.event_grouping import (
+        GROUP_EVENTS_ORACLE,
+    )
+
+    events_sql = (
+        "SELECT 'threshold_events' AS event_type, conv_id, tool, role, "
+        "CAST(100 AS INTEGER) AS severity, ts "
+        f"FROM transcripts WHERE value > {threshold}"
+    )
+    body = GROUP_EVENTS_ORACLE.format(
+        events_sql=events_sql,
+        interval_us=max_interval_s * 1_000_000,
+        duration_us=max_duration_s * 1_000_000,
+    )
+    # splice into with_transcripts' CTE list (strip the leading WITH)
+    spliced = "," + body.strip().removeprefix("WITH")
+    return with_transcripts(spliced)
