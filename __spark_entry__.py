@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from streamevmon_spark import oracles  # noqa: E402
+from streamevmon_spark import docs_oracles, oracles  # noqa: E402
 from streamevmon_spark.data.transcripts import load_transcripts  # noqa: E402
 from streamevmon_spark.operators import rollup as R  # noqa: E402
 
@@ -130,6 +130,39 @@ def _q_frequent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_event_filter(ev, count=5, interval_s=600, cooldown_s=1200)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_docs(op_module: str, fn: str, **kw):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import importlib
+
+        mod = importlib.import_module(f"streamevmon_spark.operators.{op_module}")
+        return getattr(mod, fn)(_docs(spark, sf_dir), **kw)
+
+    return q
+
+
+def _q_embs(fn: str, **kw):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from streamevmon_spark.operators import similarity
+
+        return getattr(similarity, fn)(_embs(spark, sf_dir), **kw)
+
+    return q
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -165,6 +198,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             minimum_change=1.05, purge_s=86400,
         ),
         "detect_changepoint": _q_detect_changepoint,
+        # training-data pipeline: text analysis over documents
+        "token_counts": _q_docs("textstats", "token_counts"),
+        "quality_scores": _q_docs("textstats", "quality_scores"),
+        "lang_id": _q_docs("textstats", "lang_id"),
+        "doc_fingerprints": _q_docs("textstats", "fingerprints"),
+        # training-data pipeline: deduplication over documents
+        "dedup_exact": _q_docs("dedup", "exact_dedup"),
+        "dedup_ngram_jaccard": _q_docs(
+            "dedup", "ngram_jaccard_pairs", threshold=0.2
+        ),
+        "dedup_minhash_lsh": _q_docs(
+            "dedup", "minhash_lsh_pairs", threshold=0.2
+        ),
+        "dedup_simhash": _q_docs("dedup", "simhash_fingerprints"),
+        "dedup_simhash_pairs": _q_docs("dedup", "simhash_pairs",
+                                       max_hamming=6),
+        # training-data pipeline: similarity search over embeddings
+        "ann_cosine_topk": _q_embs("cosine_topk", n_queries=10, k=5),
+        "embedding_neardup": _q_embs("embedding_neardup_pairs",
+                                     threshold=0.4),
+        "ann_lsh_topk": _q_embs("lsh_ann_topk", n_queries=10, k=5),
     }
 
 
@@ -182,4 +236,17 @@ def oracle_sql() -> dict[str, str]:
         # chunk_table / sketch_1h: binary sketch/codec blobs — rows-only
         # frequent_event_filter / detect_*: sequential stateful kernels
         # (non-SQL-expressible) — rows-only; semantics pinned in tests
+        "token_counts": docs_oracles.token_counts_oracle(),
+        "quality_scores": docs_oracles.quality_scores_oracle(),
+        "lang_id": docs_oracles.lang_id_oracle(),
+        "doc_fingerprints": docs_oracles.fingerprints_oracle(),
+        "dedup_exact": docs_oracles.exact_dedup_oracle(),
+        "dedup_ngram_jaccard": docs_oracles.ngram_jaccard_oracle(0.2),
+        "dedup_minhash_lsh": docs_oracles.minhash_lsh_oracle(0.2),
+        "dedup_simhash": docs_oracles.simhash_oracle(),
+        "dedup_simhash_pairs": docs_oracles.simhash_pairs_oracle(6),
+        "ann_cosine_topk": docs_oracles.cosine_topk_oracle(10, 5),
+        "embedding_neardup": docs_oracles.embedding_neardup_oracle(0.4),
+        # ann_lsh_topk: scale-path ANN — recall tolerance-tested vs
+        # cosine_topk in tests; rows-only here
     }

@@ -1,0 +1,253 @@
+"""DuckDB oracles for the training-data-pipeline operators
+(documents / embeddings tables).
+
+Determinism contracts with the Spark implementations:
+- hashes: functions/porthash.hex32_sql is a single SQL fragment valid in
+  both dialects (md5/substr/instr/arithmetic only);
+- ratios/similarities: integer-derived numerators/denominators, one
+  double division -> bit-exact;
+- dot products: ascending-index left fold over doubles; DuckDB's
+  list_reduce seeds with the first element, Spark's aggregate seeds with
+  0.0 — identical because 0.0 + x is exact.
+"""
+
+from __future__ import annotations
+
+from streamevmon_spark.functions.porthash import hex32_sql
+from streamevmon_spark.operators.dedup import MINHASH_BAND_ROWS, MINHASH_K
+from streamevmon_spark.operators.textstats import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_REGEX,
+)
+
+_TOKS = "string_split(text, ' ')"
+_SHINGLE_LIST = (
+    "list_distinct([array_to_string(list_slice("
+    f"{_TOKS}, j + 1, j + 3), ' ') "
+    f"FOR j IN range(0, greatest(len({_TOKS}) - 2, 1))])"
+)
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def token_counts_oracle() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}', 0)) AS BIGINT)
+           AS regex_tokens,
+       CAST(length(text) AS BIGINT) AS chars
+FROM documents
+"""
+
+
+def quality_scores_oracle() -> str:
+    stops = _sql_list(STOPWORDS)
+    return f"""
+WITH t AS (
+    SELECT doc_id, text, {_TOKS} AS toks,
+           CAST(length(text) AS BIGINT) AS nch
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       nch AS n_chars_m,
+       CAST(nch - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+           AS mean_token_len,
+       CAST(len(list_filter(toks, x -> list_contains({stops}, x)))
+            AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+       CAST(nch - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+            AS DOUBLE) / CAST(nch AS DOUBLE) AS punct_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+           AS distinct_ratio,
+       CAST(len(list_intersect(list_distinct(toks), {stops})) AS BIGINT)
+           AS distinct_stopwords
+FROM t
+"""
+
+
+def lang_id_oracle() -> str:
+    score = {
+        lang: (
+            f"CAST(len(list_intersect(list_distinct({_TOKS}), "
+            f"{_sql_list(markers)})) AS BIGINT)"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    return f"""
+WITH s AS (
+    SELECT doc_id,
+           {score['en']} AS score_en,
+           {score['de']} AS score_de,
+           {score['fr']} AS score_fr
+    FROM documents
+)
+SELECT doc_id, score_en, score_de, score_fr,
+       CASE WHEN greatest(score_en, score_de, score_fr) = 0 THEN 'und'
+            WHEN score_en = greatest(score_en, score_de, score_fr)
+                THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_fr)
+                THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+def fingerprints_oracle() -> str:
+    h = hex32_sql("s")
+    return f"""
+SELECT doc_id,
+       md5(lower(text)) AS canonical_md5,
+       CAST(list_min(list_transform({_SHINGLE_LIST}, s -> {h})) AS BIGINT)
+           AS min_shingle_hash
+FROM documents
+"""
+
+
+def exact_dedup_oracle() -> str:
+    return """
+SELECT md5(text) AS text_md5,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+_SHINGLES_CTE = f"""
+sh AS (
+    SELECT doc_id, unnest({_SHINGLE_LIST}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT doc_a, doc_b,
+           CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
+def ngram_jaccard_oracle(threshold: float = 0.2) -> str:
+    return f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+def minhash_lsh_oracle(
+    threshold: float = 0.2,
+    k: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+) -> str:
+    mins = ", ".join(
+        "min(" + hex32_sql(f"concat('{i}:', shingle)") + f") AS mh{i}"
+        for i in range(k)
+    )
+    n_bands = k // band_rows
+    band_keys = ", ".join(
+        "concat_ws('_', "
+        + str(b)
+        + ", "
+        + ", ".join(f"mh{b * band_rows + r}" for r in range(band_rows))
+        + ")"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (
+    SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= {threshold}
+"""
+
+
+def simhash_oracle() -> str:
+    h = hex32_sql("token")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+hashed AS (SELECT doc_id, {h} AS h FROM tok),
+bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def simhash_pairs_oracle(max_hamming: int = 6) -> str:
+    return f"""
+WITH fp AS ({simhash_oracle()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def cosine_topk_oracle(n_queries: int = 10, k: int = 5) -> str:
+    dot_qv = _DOT.format(a="q.embedding", b="v.embedding")
+    norm = _DOT.format(a="embedding", b="embedding")
+    return f"""
+WITH n AS (
+    SELECT vec_id, embedding, sqrt({norm}) AS nrm FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding, nrm FROM n
+      WHERE vec_id < {n_queries}),
+scored AS (
+    SELECT q.query_id, v.vec_id,
+           {_DOT.format(a='q.embedding', b='v.embedding')}
+               / (q.nrm * v.nrm) AS cosine
+    FROM n v, q WHERE v.vec_id != q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_neardup_oracle(threshold: float = 0.9) -> str:
+    norm = _DOT.format(a="embedding", b="embedding")
+    return f"""
+WITH n AS (
+    SELECT vec_id, embedding, sqrt({norm}) AS nrm FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_DOT.format(a='a.embedding', b='b.embedding')}
+           / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+          / (a.nrm * b.nrm) >= {threshold}
+"""

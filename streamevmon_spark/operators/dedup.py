@@ -1,0 +1,205 @@
+"""Deduplication operators over the documents table — the dedup half of
+a large-scale training-data pipeline.
+
+Four families, each with a DuckDB oracle (oracles.py):
+
+- ``exact_dedup``       hash-groupBy on md5(text); keeps min doc_id.
+- ``ngram_jaccard_pairs`` exact word-3-gram Jaccard similarity for every
+  candidate pair sharing a shingle (shingle-join, not O(n^2)).
+- ``minhash_lsh_pairs`` MinHash signatures (k portable hash functions,
+  functions/porthash.py) -> LSH banding -> candidate pairs -> exact
+  Jaccard verify. The 100 TB path: cost is O(docs x shingles x k) plus a
+  band-key shuffle; no pairwise blow-up outside a band bucket.
+- ``simhash_fingerprints`` / ``simhash_pairs`` 32-bit SimHash over
+  tokens; near-dup pairs by Hamming distance (bit_count of xor).
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+
+Scale notes: every step is shuffle-on-key DataFrame algebra (explode ->
+groupBy / join). Shingle and band keys are integers/strings with good
+dispersion (md5-derived), so no skew salting is needed; AQE handles any
+residual band-bucket skew. The pairwise verify only ever runs on
+LSH-candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streamevmon_spark.functions.porthash import hex32_sql
+
+MINHASH_K = 8  # hash functions
+MINHASH_BAND_ROWS = 2  # rows per LSH band -> 4 bands
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """One row per distinct text: md5 hash, kept (min) doc_id, dup count."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )
+
+
+def _shingles(n: int = 3):
+    """Distinct word n-gram shingle array for the text column. The
+    greatest() guard keeps sequence() ascending for docs shorter than n
+    words (such a doc yields one truncated shingle)."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size(split(text, ' ')) - {n}, 0)),"
+        f" j -> concat_ws(' ', slice(split(text, ' '), j + 1, {n}))))"
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(_shingles()).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.2
+) -> DataFrame:
+    """Exact Jaccard over distinct word-3-gram shingles for every pair of
+    docs sharing at least one shingle; keep pairs >= threshold."""
+    sh = _doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    out = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (
+                    F.col("size_a") + F.col("size_b") - F.col("n_inter")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Per-doc MinHash signature: mh_i = min over shingles of
+    hex32(i || ':' || shingle). One shuffle (groupBy doc_id)."""
+    sh = _doc_shingles(docs)
+    aggs = [
+        F.min(F.expr(hex32_sql(f"concat('{i}:', shingle)"))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    k: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+) -> DataFrame:
+    """LSH candidate generation + exact Jaccard verification."""
+    sig = minhash_signatures(docs, k)
+    n_bands = k // band_rows
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        *[
+                            F.col(f"mh{b * band_rows + r}")
+                            for r in range(band_rows)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, F.col("a.band_key") == F.col("b.band_key"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.0)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over (non-distinct) tokens: bit b of the
+    fingerprint is 1 iff sum over tokens of (+1 if bit b of hex32(token)
+    else -1) > 0. Portable arithmetic only (floor-div/mod)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).withColumn("h", F.expr(hex32_sql("token")))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h").cast("long") / (1 << b)).cast("long") % 2 == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
+    )
+    fp = None
+    for b in range(32):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance. Pairwise join at
+    test scale; the scale path blocks on fingerprint prefix bands (same
+    trick as MinHash banding over bit groups)."""
+    fp = simhash_fingerprints(docs)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -94,6 +94,14 @@ def build_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Shuffle/spill files on tmpfs: this sandbox's passthrough
+        # filesystem serializes small-file I/O, which becomes the scaling
+        # bottleneck for many concurrent shuffle writers. On a real
+        # cluster you would point this at fast local SSDs instead.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config(

@@ -1,0 +1,123 @@
+"""Training-data pipeline operator tests: dedup families, similarity
+search, text analysis. Cross-engine exactness is covered by the driver
+oracle (docs_oracles.py); these tests pin semantic properties the SQL
+comparison can't express (LSH recall, family agreement, hash mirrors).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = []
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_hex32_python_mirror_matches_sql(spark):
+    from streamevmon_spark.functions.porthash import hex32, hex32_sql
+
+    h1 = hex32_sql("'hello'")
+    h2 = hex32_sql("'x y z'")
+    rows = spark.sql(f"SELECT {h1} AS h, {h2} AS h2").collect()
+    assert rows[0]["h"] == hex32("hello")
+    assert rows[0]["h2"] == hex32("x y z")
+
+
+def test_exact_dedup_partitions_docs(spark, docs):
+    from streamevmon_spark.operators.dedup import exact_dedup
+
+    d = exact_dedup(docs).toPandas()
+    assert d["dup_count"].sum() == docs.count()
+    # keep_doc_id is a real doc and unique per hash
+    assert d["text_md5"].is_unique
+
+
+def test_minhash_candidates_subset_of_jaccard_with_recall(spark, docs):
+    from streamevmon_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = ngram_jaccard_pairs(docs, threshold=0.2).toPandas()
+    lsh = minhash_lsh_pairs(docs, threshold=0.2).toPandas()
+    e = {(r.doc_a, r.doc_b) for r in exact.itertuples()}
+    l_ = {(r.doc_a, r.doc_b) for r in lsh.itertuples()}
+    assert l_ <= e, "LSH-verified pairs must be a subset of exact pairs"
+    if e:
+        recall = len(l_) / len(e)
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_simhash_exact_dups_have_zero_hamming(spark, docs):
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.dedup import simhash_fingerprints
+
+    # duplicate a doc under a new id: identical text -> identical simhash
+    dup = docs.limit(1).withColumn("doc_id", F.lit(999_999))
+    fp = simhash_fingerprints(docs.unionByName(dup)).toPandas()
+    orig_id = docs.limit(1).collect()[0]["doc_id"]
+    a = fp.loc[fp.doc_id == orig_id, "simhash"].iloc[0]
+    b = fp.loc[fp.doc_id == 999_999, "simhash"].iloc[0]
+    assert a == b
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, embs):
+    from streamevmon_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    exact = cosine_topk(embs, n_queries=10, k=5).toPandas()
+    approx = lsh_ann_topk(embs, n_queries=10, k=5).toPandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"ANN recall vs brute force too low: {recall}"
+    # each approx neighbour's cosine must equal the exact cosine (same
+    # deterministic fold), so joined rows agree bit-exactly
+    m = exact.merge(approx, on=["query_id", "vec_id"], suffixes=("_e", "_a"))
+    assert (m["cosine_e"] == m["cosine_a"]).all()
+
+
+def test_lang_id_marks_english(spark, docs):
+    from streamevmon_spark.operators.textstats import lang_id
+
+    out = lang_id(docs).toPandas()
+    # documents are English word soup containing 'the'/'a' markers
+    assert (out["lang_pred"] == "en").mean() > 0.9
+
+
+def test_quality_scores_ranges(spark, docs):
+    from streamevmon_spark.operators.textstats import quality_scores
+
+    q = quality_scores(docs).toPandas()
+    for c in ("stopword_ratio", "punct_ratio", "distinct_ratio"):
+        assert (q[c] >= 0).all() and (q[c] <= 1).all(), c
+    assert (q["mean_token_len"] > 0).all()
+
+
+def test_fingerprints_detect_canonical_duplicates(spark, docs):
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.textstats import fingerprints
+
+    # same text upper-cased -> same canonical md5 (case-normalized)
+    dup = docs.limit(1).select(
+        F.lit(999_999).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    fp = fingerprints(docs.unionByName(dup)).toPandas()
+    orig_id = docs.limit(1).collect()[0]["doc_id"]
+    a = fp.loc[fp.doc_id == orig_id, "canonical_md5"].iloc[0]
+    b = fp.loc[fp.doc_id == 999_999, "canonical_md5"].iloc[0]
+    assert a == b
