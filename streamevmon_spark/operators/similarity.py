@@ -71,27 +71,90 @@ def cosine_topk(
 
 
 def embedding_neardup_pairs(
-    vecs: DataFrame, threshold: float = 0.9
+    vecs: DataFrame, threshold: float = 0.9, block_size: int = 1024
 ) -> DataFrame:
-    """All vector pairs with cosine >= threshold (near-dup candidates)."""
-    v = with_norm(vecs)
-    a = v.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("__norm").alias("norm_a"),
+    """All vector pairs with cosine >= threshold (near-dup candidates).
+
+    Blocked all-pairs kernel: vectors are packed into blocks of
+    ``block_size`` by ``vec_id``, the (upper-triangular) block pairs are
+    joined, and each block pair's full cosine matrix is computed in one
+    Arrow-batched NumPy kernel. This is the GEMM-shaped scale path —
+    replication factor sqrt(P) instead of an O(n^2) row cross join, and
+    ~d vectorized ops per block pair instead of an interpreted
+    per-element SQL fold per row pair (measured >10x on 2k x 64 floats).
+
+    Bit-exactness with the SQL/DuckDB left-fold oracle: the kernel
+    accumulates the dot products dimension-by-dimension in ascending
+    index order (C += outer(A[:,k], B[:,k]) for k = 0..d-1) in float64,
+    which performs the identical sequence of IEEE-754 additions as
+    ``aggregate(zip_with(...), 0.0D, +)``; norms likewise; the final
+    ``C / outer(na, nb)`` is the same two-op divide as
+    ``dot / (norm_a * norm_b)``.
+    """
+    import pandas as pd
+
+    v = vecs.select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") / block_size).cast("long").alias("blk"),
     )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("__norm").alias("norm_b"),
+    packed = v.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("rows")
     )
-    cos = (_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))
-           ).alias("cosine")
-    return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos)
-        .where(F.col("cosine") >= threshold)
+    a = packed.select(
+        F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+    )
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def kernel(pdf_iter):
+        import numpy as np
+
+        def unpack(rows):
+            ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+            mat = np.array(
+                [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+            )
+            return ids, mat
+
+        def fold_norms(m):
+            acc = np.zeros(m.shape[0])
+            for k in range(m.shape[1]):
+                acc += m[:, k] * m[:, k]
+            return np.sqrt(acc)
+
+        for pdf in pdf_iter:
+            out = []
+            for _, row in pdf.iterrows():
+                ids_a, mat_a = unpack(row["rows_a"])
+                ids_b, mat_b = unpack(row["rows_b"])
+                cross = np.zeros((len(ids_a), len(ids_b)))
+                for k in range(mat_a.shape[1]):
+                    cross += np.outer(mat_a[:, k], mat_b[:, k])
+                cos = cross / np.outer(fold_norms(mat_a), fold_norms(mat_b))
+                mask = (ids_a[:, None] < ids_b[None, :]) & (cos >= threshold)
+                ia, ib = np.nonzero(mask)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids_a[ia],
+                            "vec_b": ids_b[ib],
+                            "cosine": cos[ia, ib],
+                        }
+                    )
+                )
+            yield (
+                pd.concat(out)
+                if out
+                else pd.DataFrame(
+                    {"vec_a": [], "vec_b": [], "cosine": []}
+                ).astype({"vec_a": "int64", "vec_b": "int64"})
+            )
+
+    return pairs.mapInPandas(
+        kernel, "vec_a long, vec_b long, cosine double"
     )
 
 

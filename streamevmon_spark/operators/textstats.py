@@ -113,9 +113,12 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     from streamevmon_spark.functions.porthash import hex32_sql
 
     canon = "lower(text)"
+    # split bound to a lambda variable => evaluated once per row (see
+    # operators/dedup._shingles)
     shingle = (
-        "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), "
-        "j -> concat_ws(' ', slice(split(text, ' '), j + 1, 3)))"
+        "transform(array(split(text, ' ')), ts ->"
+        " transform(sequence(0, greatest(size(ts) - 3, 0)),"
+        " j -> concat_ws(' ', slice(ts, j + 1, 3))))[0]"
     )
     min_shingle_hash = (
         f"array_min(transform({shingle}, s -> {hex32_sql('s')}))"
