@@ -130,6 +130,74 @@ def _q_frequent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_event_filter(ev, count=5, interval_s=600, cooldown_s=1200)
 
 
+def _q_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rollup_tier_salted(load_transcripts(spark, sf_dir), "1m")
+
+
+def _q_cascade(from_tier: str, to_tier: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_transcripts(spark, sf_dir)
+        return R.cascade_rollup(R.rollup_tier(df, from_tier),
+                                from_tier, to_tier)
+
+    return q
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.sources.measurements import load_events
+
+    return load_events(spark, sf_dir)
+
+
+def _q_source_typed_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.sources import measurements as M
+
+    return M.assign_stream_ids(
+        M.drop_lossy(M.typed_stream(_events(spark, sf_dir), "click"))
+    )
+
+
+def _q_history_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.sources.measurements import history_scan
+
+    return history_scan(
+        _events(spark, sf_dir), "2024-01-01 06:00:00", "2024-01-02 00:00:00"
+    )
+
+
+def _q_parse_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.sources.measurements import parse_tags
+
+    return parse_tags(_events(spark, sf_dir))
+
+
+def _q_csv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.sources.measurements import csv_projection
+
+    return csv_projection(_events(spark, sf_dir))
+
+
+def _q_enrich_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.enrich import enrich_broadcast
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return enrich_broadcast(
+        _events(spark, sf_dir), customer, "user_id", "c_custkey",
+        ["c_name", "c_acctbal", "c_mktsegment"],
+    )
+
+
+def _q_zip_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.enrich import zip_streams
+    from streamevmon_spark.sources.measurements import typed_stream
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "value",
+                                       "event_type")
+    a = typed_stream(ev, "click").drop("event_type")
+    b = typed_stream(ev, "view").drop("event_type")
+    return zip_streams(a, b, ["ts", "event_id"])
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.session import ensure_workers_can_import
 
@@ -169,7 +237,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": _q_rollup("1m"),
         "rollup_1h": _q_rollup("1h"),
         "rollup_1d": _q_rollup("1d"),
+        "rollup_1m_salted": _q_rollup_salted,
+        "cascade_1m_1h": _q_cascade("1m", "1h"),
+        "cascade_1h_1d": _q_cascade("1h", "1d"),
         "inter_turn_latency": _q_inter_turn_latency,
+        # source layer (typed streams, stream ids, range scan, tags, csv)
+        "source_typed_lossy": _q_source_typed_lossy,
+        "history_scan": _q_history_scan,
+        "parse_tags": _q_parse_tags,
+        "csv_projection": _q_csv_projection,
+        # join-like operators (broadcast enrichment, positional zip)
+        "enrich_meta": _q_enrich_meta,
+        "zip_streams": _q_zip_streams,
         "gapfill_locf_1h": _q_gapfill("locf"),
         "gapfill_interp_1h": _q_gapfill("interp"),
         "chunk_table": _q_chunk_table,
@@ -228,7 +307,18 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": oracles.rollup_oracle("1m"),
         "rollup_1h": oracles.rollup_oracle("1h"),
         "rollup_1d": oracles.rollup_oracle("1d"),
+        "rollup_1m_salted": oracles.salted_rollup_oracle("1m"),
+        "cascade_1m_1h": oracles.cascade_oracle("1h"),
+        "cascade_1h_1d": oracles.cascade_oracle("1d"),
         "inter_turn_latency": oracles.inter_turn_latency_oracle(),
+        "source_typed_lossy": oracles.typed_lossy_stream_ids_oracle("click"),
+        "history_scan": oracles.history_scan_oracle(
+            "2024-01-01 06:00:00", "2024-01-02 00:00:00"
+        ),
+        "parse_tags": oracles.parse_tags_oracle(),
+        "csv_projection": oracles.csv_projection_oracle(),
+        "enrich_meta": oracles.enrich_meta_oracle(),
+        "zip_streams": oracles.zip_streams_oracle("click", "view"),
         "gapfill_locf_1h": oracles.gapfill_oracle("1h", "locf", 7200),
         "gapfill_interp_1h": oracles.gapfill_oracle("1h", "interp", 7200),
         "threshold_events": oracles.threshold_oracle(100.0),

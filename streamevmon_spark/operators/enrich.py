@@ -1,0 +1,71 @@
+"""Join-like operators: dimension enrichment and positional zip.
+
+The reference has no relational joins — its three join-like stateful
+patterns map to two Spark operators:
+
+- ``enrich_broadcast``: the MeasurementMetaExtractor / enrichMeasurement
+  pattern (reference: measurements/MeasurementMetaExtractor.scala:69-131,
+  measurements/traits/InfluxMeasurementFactory.scala:225-241): per-series
+  dimension lookup, cached in the reference, a **broadcast hash join**
+  here — the dim table ships once per executor, no shuffle of the fact
+  stream, no per-key cache to invalidate. Left join ⇒ measurements with
+  no meta pass through with NULL meta (the extractor's buffer-until-meta
+  becomes unnecessary in batch).
+- ``zip_streams``: ZipFunction (reference: flink/ZipFunction.scala:44-104)
+  — positional pairing of two streams like Seq.zip, buffering the faster
+  side. In Spark: row_number each side on its stable order and equi-join
+  on the index; the shorter side bounds the output exactly like the
+  reference's buffer drain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def enrich_broadcast(
+    fact: DataFrame,
+    meta: DataFrame,
+    fact_key: str,
+    meta_key: str,
+    meta_cols: list[str],
+) -> DataFrame:
+    """Left broadcast-hash enrichment of a fact stream with a small
+    dimension table. ``meta_cols`` are the projected dimension columns —
+    column pruning keeps the broadcast payload minimal."""
+    dim = meta.select(F.col(meta_key).alias("__mk"), *meta_cols)
+    return (
+        fact.join(
+            F.broadcast(dim), fact.__getattr__(fact_key) == F.col("__mk"),
+            "left",
+        )
+        .drop("__mk")
+    )
+
+
+def zip_streams(
+    left: DataFrame,
+    right: DataFrame,
+    order_cols: list[str],
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+) -> DataFrame:
+    """Positional zip of two streams ordered by ``order_cols``.
+
+    Scale note: row_number over an unpartitioned window is a single-task
+    sort — fine for the reference's experiment-only use (it, too,
+    serialised through one operator instance). The keyed variant
+    (partition both sides by a series key, zip within key) shards the
+    sort; this mirrors the reference exactly, so the global form is kept.
+    """
+    def numbered(df: DataFrame, prefix: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        cols = [F.col(c).alias(f"{prefix}{c}") for c in df.columns]
+        return df.select(
+            (F.row_number().over(w) - 1).alias("__zip_idx"), *cols
+        )
+
+    return numbered(left, left_prefix).join(
+        numbered(right, right_prefix), "__zip_idx"
+    ).withColumnRenamed("__zip_idx", "zip_idx")

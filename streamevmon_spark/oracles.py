@@ -192,6 +192,106 @@ def threshold_oracle(threshold: float = 100.0, severity: int = 100) -> str:
     )
 
 
+def salted_rollup_oracle(tier: str) -> str:
+    """The salted two-phase rollup must equal the unsalted rollup on its
+    algebraic columns — same oracle, algebraic column subset."""
+    return (
+        "SELECT conv_id, tool, role, window_start, turn_count, "
+        "lossy_count, lat_avg, lat_min, lat_max, val_avg, activity_rate "
+        f"FROM ({rollup_oracle(tier)})"
+    )
+
+
+def cascade_oracle(to_tier: str) -> str:
+    """A tier cascade (finer rollup re-aggregated) must equal the direct
+    rollup of raw data at the coarser tier on all algebraic columns."""
+    return (
+        "SELECT conv_id, tool, role, window_start, window_end, "
+        "turn_count, lossy_count, lat_min, lat_max, activity_rate "
+        f"FROM ({rollup_oracle(to_tier)})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-layer oracles (events table; sources/measurements.py)
+# ---------------------------------------------------------------------------
+
+
+def typed_lossy_stream_ids_oracle(event_type: str = "click") -> str:
+    return f"""
+WITH typed AS (
+    SELECT * FROM events
+    WHERE event_type = '{event_type}' AND value IS NOT NULL
+),
+series AS (SELECT DISTINCT user_id, event_type FROM typed),
+ranked AS (
+    SELECT user_id, event_type,
+           CAST(dense_rank() OVER (ORDER BY user_id, event_type) - 1
+                AS INT) AS stream_id
+    FROM series
+)
+SELECT t.event_id, t.ts, t.user_id, t.event_type, t.value, t.props,
+       r.stream_id
+FROM typed t
+JOIN ranked r ON t.user_id = r.user_id AND t.event_type = r.event_type
+"""
+
+
+def history_scan_oracle(start_ts: str, end_ts: str) -> str:
+    return f"""
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+WHERE ts > TIMESTAMP '{start_ts}' AND ts <= TIMESTAMP '{end_ts}'
+"""
+
+
+def parse_tags_oracle() -> str:
+    return """
+SELECT event_id, ts, user_id, event_type, value, props,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS tag_k
+FROM events
+"""
+
+
+def csv_projection_oracle() -> str:
+    return """
+SELECT event_id,
+       concat_ws(',',
+           coalesce(CAST(event_id AS VARCHAR), ''),
+           coalesce(CAST(epoch_us(ts) // 1000 AS VARCHAR), ''),
+           coalesce(CAST(user_id AS VARCHAR), ''),
+           coalesce(event_type, ''),
+           coalesce(CAST(value AS VARCHAR), '')) AS csv_row
+FROM events
+"""
+
+
+def enrich_meta_oracle() -> str:
+    return """
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+       c.c_name, c.c_acctbal, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def zip_streams_oracle(type_a: str = "click", type_b: str = "view") -> str:
+    return f"""
+WITH a AS (
+    SELECT CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT)
+               AS zip_idx,
+           event_id AS a_event_id, ts AS a_ts, value AS a_value
+    FROM events WHERE event_type = '{type_a}'
+),
+b AS (
+    SELECT CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT)
+               AS zip_idx,
+           event_id AS b_event_id, ts AS b_ts, value AS b_value
+    FROM events WHERE event_type = '{type_b}'
+)
+SELECT a.zip_idx, a_event_id, a_ts, a_value, b_event_id, b_ts, b_value
+FROM a JOIN b ON a.zip_idx = b.zip_idx
+"""
+
+
 def event_groups_oracle(
     threshold: float = 100.0,
     max_interval_s: int = 10,

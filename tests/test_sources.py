@@ -1,0 +1,98 @@
+"""Source-layer + join-like operator tests (sources/measurements.py,
+operators/enrich.py) — the engine's analogue of the reference's
+source/typed-stream/meta-extractor test coverage
+(reference: runners/unified/SourceBuildTest, MeasurementCreateTest)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamevmon_spark.operators.enrich import enrich_broadcast, zip_streams
+from streamevmon_spark.sources import measurements as M
+
+
+def test_typed_stream_filters_single_type(spark, sf_dir):
+    ev = M.load_events(spark, sf_dir)
+    clicks = M.typed_stream(ev, "click")
+    types = [r[0] for r in clicks.select("event_type").distinct().collect()]
+    assert types == ["click"]
+
+
+def test_drop_lossy_removes_nulls(spark, sf_dir):
+    ev = M.load_events(spark, sf_dir)
+    assert M.drop_lossy(ev).where(F.col("value").isNull()).count() == 0
+
+
+def test_stream_ids_dense_and_consistent(spark, sf_dir):
+    ev = M.load_events(spark, sf_dir)
+    with_ids = M.assign_stream_ids(ev)
+    # dense: ids are exactly 0..n_series-1
+    ids = sorted(
+        r[0] for r in with_ids.select("stream_id").distinct().collect()
+    )
+    n_series = ev.select(*M.SERIES_KEY).distinct().count()
+    assert ids == list(range(n_series))
+    # consistent: one id per series and one series per id
+    pairs = with_ids.select(*M.SERIES_KEY, "stream_id").distinct()
+    assert pairs.count() == n_series
+
+
+def test_history_scan_boundaries(spark, sf_dir):
+    ev = M.load_events(spark, sf_dir)
+    lo, hi = "2024-01-01 00:30:00", "2024-01-01 02:00:00"
+    got = M.history_scan(ev, lo, hi)
+    mn, mx = got.agg(F.min("ts"), F.max("ts")).first()
+    assert str(mn) > lo  # start exclusive
+    assert str(mx) <= hi  # end inclusive
+
+
+def test_parse_tags_extracts_int(spark, sf_dir):
+    ev = M.load_events(spark, sf_dir)
+    tagged = M.parse_tags(ev)
+    row = tagged.select("props", "tag_k").first()
+    import json
+
+    assert row["tag_k"] == json.loads(row["props"])["k"]
+
+
+def test_csv_projection_canonicalisation(spark, sf_dir):
+    ev = M.load_events(spark, sf_dir)
+    row = (
+        M.csv_projection(ev)
+        .join(ev, "event_id")
+        .where(F.col("value").isNotNull())
+        .first()
+    )
+    parts = row["csv_row"].split(",")
+    assert parts[0] == str(row["event_id"])
+    assert parts[3] == row["event_type"]
+    # lossy rows serialise value as empty string (Option -> "")
+    lossy = (
+        M.csv_projection(ev.withColumn("value", F.lit(None).cast("double")))
+        .first()["csv_row"]
+        .split(",")
+    )
+    assert lossy[4] == ""
+
+
+def test_enrich_broadcast_left_semantics(spark, sf_dir):
+    ev = M.load_events(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = enrich_broadcast(
+        ev, customer, "user_id", "c_custkey", ["c_name", "c_acctbal"]
+    )
+    assert out.count() == ev.count()  # left join: no fact rows lost
+    # broadcast hint survives into the physical plan
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_zip_streams_positional(spark, sf_dir):
+    ev = M.load_events(spark, sf_dir).select("event_id", "ts", "event_type")
+    a = M.typed_stream(ev, "click").drop("event_type")
+    b = M.typed_stream(ev, "view").drop("event_type")
+    z = zip_streams(a, b, ["ts", "event_id"])
+    assert z.count() == min(a.count(), b.count())
+    # position 0 pairs the earliest row of each side
+    first = z.orderBy("zip_idx").first()
+    assert first["a_event_id"] == a.orderBy("ts", "event_id").first()["event_id"]
+    assert first["b_event_id"] == b.orderBy("ts", "event_id").first()["event_id"]
