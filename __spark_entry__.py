@@ -130,6 +130,16 @@ def _q_frequent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_event_filter(ev, count=5, interval_s=600, cooldown_s=1200)
 
 
+def _q_onepass(tier: str):
+    """Single-shuffle tiered pipeline (operators/rollup.rollup_tiers_onepass)
+    — full rollup columns, so the standard tier oracle applies."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return R.rollup_tiers_onepass(load_transcripts(spark, sf_dir))[tier]
+
+    return q
+
+
 def _q_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rollup_tier_salted(load_transcripts(spark, sf_dir), "1m")
 
@@ -198,6 +208,94 @@ def _q_zip_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zip_streams(a, b, ["ts", "event_id"])
 
 
+RETENTION_NOW = "2024-01-03 00:00:00"
+RETENTION_HORIZON_S = 86400
+
+
+def _q_retention_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.retention import apply_retention
+
+    rolled = R.rollup_tier(load_transcripts(spark, sf_dir), "1m")
+    return apply_retention(
+        rolled, "1m", RETENTION_NOW, {"1m": RETENTION_HORIZON_S}
+    )
+
+
+def _q_retention_expired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.retention import expired_day_partitions
+
+    rolled = R.rollup_tier(load_transcripts(spark, sf_dir), "1m")
+    return expired_day_partitions(
+        rolled, "1m", RETENTION_NOW, {"1m": RETENTION_HORIZON_S}
+    )
+
+
+def _stream_input(spark: SparkSession, sf_dir: str) -> str:
+    from streamevmon_spark.streaming.rollup_stream import (
+        materialize_transcripts,
+    )
+
+    out = f"/tmp/stream_transcripts_{sf_dir.strip('/').replace('/', '_')}"
+    return materialize_transcripts(spark, sf_dir, out, n_files=4)
+
+
+def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    path = _stream_input(spark, sf_dir)
+    name = f"q_sr_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_rollup(S.stream_transcripts(spark, path), "1m"), name
+    )
+    return spark.table(name)
+
+
+def _q_stream_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    path = _stream_input(spark, sf_dir)
+    name = f"q_sl_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_inter_turn_latency(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1)
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.multimodal import (
+        media_metadata,
+        synth_media,
+    )
+
+    return media_metadata(synth_media(_docs(spark, sf_dir)))
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.multimodal import (
+        decode_features,
+        synth_media,
+    )
+
+    return decode_features(synth_media(_docs(spark, sf_dir)), fake=True)
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.multimodal import (
+        frame_sample,
+        synth_media,
+    )
+
+    return frame_sample(synth_media(_docs(spark, sf_dir)))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.session import ensure_workers_can_import
 
@@ -237,6 +335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": _q_rollup("1m"),
         "rollup_1h": _q_rollup("1h"),
         "rollup_1d": _q_rollup("1d"),
+        "rollup_onepass_1m": _q_onepass("1m"),
+        "rollup_onepass_1h": _q_onepass("1h"),
+        "rollup_onepass_1d": _q_onepass("1d"),
         "rollup_1m_salted": _q_rollup_salted,
         "cascade_1m_1h": _q_cascade("1m", "1h"),
         "cascade_1h_1d": _q_cascade("1h", "1d"),
@@ -277,6 +378,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             minimum_change=1.05, purge_s=86400,
         ),
         "detect_changepoint": _q_detect_changepoint,
+        # retention (age-out policy per tier)
+        "retention_1m": _q_retention_1m,
+        "retention_expired_parts": _q_retention_expired,
+        # structured streaming (watermarked aggregate + keyed state)
+        "stream_rollup_1m": _q_stream_rollup,
+        "stream_latency": _q_stream_latency,
+        # multimodal columns (binary payload + typed metadata; decode
+        # stubbed behind a deterministic fake — see operators/multimodal)
+        "media_metadata": _q_media_metadata,
+        "media_decode_fake": _q_media_decode,
+        "media_frame_sample": _q_frame_sample,
         # training-data pipeline: text analysis over documents
         "token_counts": _q_docs("textstats", "token_counts"),
         "quality_scores": _q_docs("textstats", "quality_scores"),
@@ -307,6 +419,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": oracles.rollup_oracle("1m"),
         "rollup_1h": oracles.rollup_oracle("1h"),
         "rollup_1d": oracles.rollup_oracle("1d"),
+        "rollup_onepass_1m": oracles.rollup_oracle("1m"),
+        "rollup_onepass_1h": oracles.rollup_oracle("1h"),
+        "rollup_onepass_1d": oracles.rollup_oracle("1d"),
         "rollup_1m_salted": oracles.salted_rollup_oracle("1m"),
         "cascade_1m_1h": oracles.cascade_oracle("1h"),
         "cascade_1h_1d": oracles.cascade_oracle("1d"),
@@ -326,6 +441,18 @@ def oracle_sql() -> dict[str, str]:
         # chunk_table / sketch_1h: binary sketch/codec blobs — rows-only
         # frequent_event_filter / detect_*: sequential stateful kernels
         # (non-SQL-expressible) — rows-only; semantics pinned in tests
+        "retention_1m": oracles.retention_oracle(
+            "1m", RETENTION_NOW, RETENTION_HORIZON_S
+        ),
+        "retention_expired_parts": oracles.expired_partitions_oracle(
+            "1m", RETENTION_NOW, RETENTION_HORIZON_S
+        ),
+        "stream_rollup_1m": oracles.stream_rollup_oracle("1m"),
+        "stream_latency": oracles.stream_latency_oracle(),
+        "media_metadata": oracles.media_metadata_oracle(),
+        # media_decode_fake / media_frame_sample: byte-level pandas-UDF
+        # kernels over binary payloads — rows-only; pinned in
+        # tests/test_multimodal.py
         "token_counts": docs_oracles.token_counts_oracle(),
         "quality_scores": docs_oracles.quality_scores_oracle(),
         "lang_id": docs_oracles.lang_id_oracle(),

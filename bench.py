@@ -77,32 +77,66 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
 
 
 def _scaling_child(sf_dir: str, cpus: str, n_turns: int) -> None:
-    """Child-process body: one full 3-tier rollup over a generated
-    bench-scale transcript table, reporting turns/sec at this parallelism."""
+    """Child-process body: the production 3-tier topology over a
+    generated bench-scale transcript table — ONE shuffle into the
+    (series, day) layout with partition-local inter-turn latency, then
+    all three retention tiers aggregated exchange-free from the shared
+    layout (operators/rollup.rollup_tiers_onepass)."""
     from streamevmon_spark.data.transcripts import generate_transcripts
-    from streamevmon_spark.operators.rollup import rollup_tier_salted
+    from streamevmon_spark.operators.rollup import (
+        prepare_with_latency,
+        rollup_tiers_onepass,
+    )
 
+    # ActiveProcessorCount makes the JVM size its GC / JIT / IO thread
+    # pools for N cores instead of the machine's 32 — otherwise the
+    # small-N run gets free parallelism from pool threads on idle cores
+    # and the measured scaling ratio understates a real N-core node.
+    # Heap sized per core (4g/core): a 32-thread run allocating into the
+    # 8g default heap spends its time in stop-the-world young-gen GC and
+    # cannot scale; a real N-core executor fleet brings N*per-core heap.
     spark = build_spark(
-        app_name=f"streamevmon-scaling-{cpus}", master=f"local[{cpus}]"
+        app_name=f"streamevmon-scaling-{cpus}", master=f"local[{cpus}]",
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={cpus}",
+            # 1g/core + floor: measured best; an oversized heap (4g/core)
+            # regressed the 32-thread run (GC region sizing)
+            "spark.driver.memory": f"{max(8, int(cpus))}g",
+        },
     )
     df = generate_transcripts(
         spark, n_turns=n_turns, n_convs=500, partitions=int(cpus) * 2
     ).persist()
     df.count()  # materialise input outside the timed region
+
+    def job() -> None:
+        pre = prepare_with_latency(df, int(cpus) * 2).persist()
+        tiers = rollup_tiers_onepass(df, prepared=pre)
+        # materialise the shared layout ONCE, then the tier aggregations
+        # read the warm cache (concurrent first-touch from several
+        # branches would race and duplicate the layout computation)
+        _force(pre)
+        for tier in ("1m", "1h", "1d"):
+            _force(tiers[tier])
+        pre.unpersist()
+
     # one untimed warm-up sweep: JVM heap growth + JIT + shuffle buffer
-    # page faults are one-time costs, not throughput (see run_bench note)
-    for tier in ("1m", "1h", "1d"):
-        _force(rollup_tier_salted(df, tier))
-    t0 = time.perf_counter()
-    for tier in ("1m", "1h", "1d"):
-        _force(rollup_tier_salted(df, tier))
-    wall = time.perf_counter() - t0
+    # page faults are one-time costs, not throughput (see run_bench note).
+    # Timed: min of 3 — single-run noise on this shared sandbox reaches
+    # several seconds.
+    job()
+    wall = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        job()
+        wall = min(wall, time.perf_counter() - t0)
     print(json.dumps({"cpus": int(cpus), "wall_s": round(wall, 3),
-                      "turns_per_sec": round(3 * n_turns / wall, 1)}))
+                      "turns_per_sec": round(n_turns / wall, 1)}))
     spark.stop()
 
 
-def run_scaling(sf_dir: str, n_turns: int = 8_000_000) -> dict:
+def run_scaling(sf_dir: str, n_turns: int = 24_000_000) -> dict:
     """Run the identical job at local[8] and local[32] in fresh processes
     (fresh JVM each — no shared executor state) and report efficiency."""
     import subprocess
@@ -110,11 +144,24 @@ def run_scaling(sf_dir: str, n_turns: int = 8_000_000) -> dict:
     out = {}
     for cpus in ("8", "32"):
         env = dict(os.environ)
+        cmd = [sys.executable, __file__, "--scaling-child", str(cpus),
+               str(n_turns), sf_dir]
+        # OS-level affinity: the N-core child physically runs on N cores,
+        # so GC/IO/OS threads cannot borrow idle cores and flatter the
+        # small-N throughput (the honest N-core-cluster-node proxy).
+        import shutil
+
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cpus),
-             str(n_turns), sf_dir],
-            capture_output=True, text=True, env=env, check=True,
+            cmd, capture_output=True, text=True, env=env,
         )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling child local[{cpus}] failed "
+                f"(exit {proc.returncode})"
+            )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
         out[f"local[{cpus}]"] = r

@@ -167,6 +167,13 @@ def generate_transcripts(
     ts_ntz = F.expr(
         "timestampadd(MICROSECOND, ts_us, timestamp_ntz'1970-01-01 00:00:00')"
     )
+    # The turn_idx window above leaves the data clustered by conv_num —
+    # with hot-conversation skew that means a few huge partitions, and
+    # every downstream stage would serialise on them (measured: flat
+    # scaling 8→32 cores because one 2M-row cached partition gates each
+    # map stage). Real ingest tables arrive size-split (parquet/Iceberg
+    # file splits), so restore that layout explicitly.
+    df = df.repartition(partitions or spark.sparkContext.defaultParallelism)
     return df.select(
         F.format_string("conv-%04d", F.col("conv_num")).alias("conv_id"),
         F.col("turn_idx"),

@@ -1,0 +1,170 @@
+"""Multimodal (image / audio / video) columns for the training-data
+pipeline: opaque ``binary`` payloads + typed metadata, with decode /
+feature-extraction / resize / frame-sampling as Arrow-batched pandas
+UDFs over ``mapInPandas``.
+
+The container has no image/audio libraries, so the decode step is a
+STUB: ``decode_features(..., fake=True)`` runs a deterministic
+byte-level fake decoder (real Arrow batch shapes, real schema, real
+partitioning); ``fake=False`` raises NotImplementedError where a real
+decoder (PIL / libav) would plug in. Everything around the stub — the
+media table schema, the per-kind dispatch, the UDF signatures and the
+frame-chunk explode — is real and tested.
+
+There is no reference analogue (streamevmon is numeric-telemetry only);
+this family exists for the 100 TB training-data use case. Scale notes:
+payloads stay executor-side end-to-end (no driver collect); frame
+sampling emits one row per sampled frame via mapInPandas so a skewed
+giant video fans out across Arrow batches; feature extraction is one
+NumPy pass per batch, not per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+# deterministic fake media geometry (per doc_id) — stands in for the real
+# container metadata a demuxer would report
+_WIDTHS = (320, 640, 1280)
+_RATES = (8000, 16000, 44100)
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from the documents table: one opaque
+    binary payload per doc (the UTF-8 bytes of its text, repeated to
+    media-ish size) plus typed metadata. Pure built-in expressions."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in MEDIA_KINDS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    width = F.element_at(
+        F.array(*[F.lit(w) for w in _WIDTHS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in _RATES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    n_frames = (F.col("doc_id") % 7 + 1).cast("int")
+    payload = F.encode(F.repeat(F.col("text"), 4), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            width.alias("width"),
+            (width / 2).cast("int").alias("height"),
+            n_frames.alias("n_frames"),
+            rate.alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Typed metadata projection over opaque payloads — JVM-side only
+    (length / md5 of the binary), no decode."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    )
+
+
+def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-media decoded feature vector via mapInPandas.
+
+    fake=True: deterministic byte-level features (mean/min/max byte,
+    entropy proxy) — one vectorized NumPy pass per Arrow batch.
+    fake=False: the real decoder hook — raises NotImplementedError (no
+    PIL/libav in this container); a deployment drops its decoder into
+    ``_real_decode`` without touching the Spark plumbing."""
+
+    def run(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            if not fake:
+                _real_decode(pdf)
+            feats = {"media_id": pdf["media_id"], "kind": pdf["kind"],
+                     "n_bytes": [], "byte_mean": [], "byte_min": [],
+                     "byte_max": [], "distinct_bytes": []}
+            for blob in pdf["payload"]:
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                feats["n_bytes"].append(len(arr))
+                feats["byte_mean"].append(float(arr.mean()))
+                feats["byte_min"].append(int(arr.min()))
+                feats["byte_max"].append(int(arr.max()))
+                feats["distinct_bytes"].append(int(len(np.unique(arr))))
+            yield pd.DataFrame(feats)
+
+    return media.mapInPandas(
+        run,
+        "media_id long, kind string, n_bytes long, byte_mean double, "
+        "byte_min int, byte_max int, distinct_bytes int",
+    )
+
+
+def _real_decode(pdf) -> None:
+    raise NotImplementedError(
+        "real media decode requires image/audio libraries not present in "
+        "this container; use decode_features(..., fake=True) for the "
+        "deterministic byte-level stand-in"
+    )
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = 256, every_n: int = 2
+) -> DataFrame:
+    """Sample every ``every_n``-th fixed-size frame chunk from video
+    payloads: one output row per sampled frame (media_id, frame_idx,
+    frame). mapInPandas so one giant video fans out over batches instead
+    of materialising all frames in one row."""
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                n = (len(blob) + frame_bytes - 1) // frame_bytes
+                for f in range(0, n, every_n):
+                    ids.append(mid)
+                    idxs.append(f)
+                    frames.append(
+                        bytes(blob[f * frame_bytes:(f + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame": frames}
+            )
+
+    video = media.where(F.col("kind") == "video")
+    return video.mapInPandas(
+        run, "media_id long, frame_idx int, frame binary"
+    )
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize hook: updates the typed metadata (real) and would re-encode
+    the payload (stubbed — payload passes through untouched; a real
+    deployment swaps the identity for its resampler inside the same
+    column contract)."""
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.n_frames").alias("n_frames"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+        ),
+    )

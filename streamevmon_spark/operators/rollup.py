@@ -73,6 +73,51 @@ def add_inter_turn_latency(df: DataFrame) -> DataFrame:
     )
 
 
+def add_inter_turn_latency_bucketed(
+    df: DataFrame, bucket_s: int = 86400
+) -> DataFrame:
+    """Skew-proof inter-turn latency: identical output to
+    ``add_inter_turn_latency``, but the per-series sort is sharded by
+    time bucket so a hot conversation parallelises across buckets
+    instead of serialising one executor thread.
+
+    1. lag() within (series, bucket) — the sort unit is one series-bucket
+       (bounded rows), not one whole series.
+    2. A tiny boundary table (one row per series-bucket: last (ts,
+       turn_idx)) is lag()'d per series — thousands of rows, trivially
+       fast — and joined back to patch each bucket's first row with the
+       previous bucket's last timestamp.
+
+    Exact: buckets partition event time, so rows with equal ts always
+    share a bucket and the (ts, turn_idx) order is preserved across the
+    patch. The same boundary-injection idea drives the resumable
+    pipeline's cross-bucket exactness (plans/pipeline.py).
+    """
+    bucket_us = bucket_s * 1_000_000
+    df = df.withColumn("__ts_us", ts_micros("ts"))
+    df = df.withColumn("__b", F.expr(f"__ts_us div {bucket_us}"))
+    w_in = Window.partitionBy(*SERIES_KEY, "__b").orderBy("ts", "turn_idx")
+    df = df.withColumn("__prev_in", F.lag("__ts_us").over(w_in))
+
+    bounds = df.groupBy(*SERIES_KEY, "__b").agg(
+        F.max("__ts_us").alias("__last_ts")
+    )
+    w_b = Window.partitionBy(*SERIES_KEY).orderBy("__b")
+    prev_bounds = bounds.withColumn(
+        "__prev_last", F.lag("__last_ts").over(w_b)
+    ).select(*SERIES_KEY, "__b", "__prev_last")
+
+    # one row per (series, bucket) — broadcast so the 10^12-row side is
+    # never reshuffled for the patch join
+    df = df.join(F.broadcast(prev_bounds), [*SERIES_KEY, "__b"], "left")
+    lat = F.coalesce(F.col("__prev_in"), F.col("__prev_last"))
+    df = df.withColumn("lat_us", F.col("__ts_us") - lat)
+    return (
+        df.withColumn("lat_s", F.col("lat_us").cast("double") / 1e6)
+        .drop("__ts_us", "__b", "__prev_in", "__prev_last")
+    )
+
+
 def _pct_from_sorted(arr: str, p: float) -> str:
     """Linear-interpolation percentile over a pre-sorted bigint array,
     spelled out so the oracle can evaluate the byte-identical formula:
@@ -175,7 +220,7 @@ def rollup_tier_salted(
         f"(datediff(MICROSECOND, {EPOCH_NTZ}, ts) div {win_us}) * {win_us}"
     )
     salted = (
-        add_inter_turn_latency(df)
+        add_inter_turn_latency_bucketed(df)
         .withColumn("__w_us", wstart_us)
         .withColumn("__val_q", F.floor(F.col("value") * 1e6))
         .withColumn(
@@ -227,6 +272,152 @@ def rollup_tier_salted(
             F.col("turn_count").cast("double") / F.lit(float(secs))
         ).alias("activity_rate"),
     )
+
+
+def prepare_series_layout(
+    df: DataFrame, n_parts: int | None = None, bucket_s: int = 86400
+) -> DataFrame:
+    """Materialise the Iceberg-table layout in-plan: ONE exchange on
+    (series key, day bucket), after which the entire tiered pipeline is
+    exchange-free.
+
+    Why this works: the repartition registers
+    ``HashPartitioning(conv_id, tool, role, __day)``, and every
+    downstream requirement — the per-day lag window
+    (``partitionBy(series, __day)``), the boundary aggregation
+    (``groupBy(series, __day)``) and every tier aggregation
+    (``groupBy(series, __day, window)``, windows nest inside days) — is a
+    ClusteredDistribution over a SUPERSET of those expressions, which the
+    existing partitioning satisfies. Catalyst therefore inserts no
+    further Exchange: one shuffle of raw rows feeds 1m + 1h + 1d.
+
+    Skew: the partition unit is (series, day) — a hot conversation
+    spreads across days instead of landing on one reducer; intra-day
+    volume is bounded by the series' event rate. This mirrors the target
+    physical layout (raw Iceberg table partitioned by days(ts), bucketed
+    by conv hash) where a storage-partitioned scan removes even this one
+    exchange.
+    """
+    bucket_us = bucket_s * 1_000_000
+    # project to the rollup's working set BEFORE the exchange — never
+    # ship the text payload through the shuffle (at 100 TB the text
+    # column dwarfs the numeric columns; Iceberg's scan would prune it,
+    # the explicit select guarantees the same through the cache/persist)
+    pre = (
+        df.select(*SERIES_KEY, "ts", "turn_idx", "value")
+        .withColumn("__ts_us", ts_micros("ts"))
+        .withColumn("__day", F.expr(f"__ts_us div {bucket_us}"))
+    )
+    if n_parts:
+        return pre.repartition(n_parts, *SERIES_KEY, "__day")
+    return pre.repartition(*SERIES_KEY, "__day")
+
+
+def _add_lat_within_layout(pre: DataFrame) -> DataFrame:
+    """Inter-turn latency over a prepare_series_layout frame — the
+    bucketed-lag boundary patch, with every step partition-local."""
+    w_in = Window.partitionBy(*SERIES_KEY, "__day").orderBy("ts", "turn_idx")
+    out = pre.withColumn("__prev_in", F.lag("__ts_us").over(w_in))
+    bounds = pre.groupBy(*SERIES_KEY, "__day").agg(
+        F.max("__ts_us").alias("__last_ts")
+    )
+    w_b = Window.partitionBy(*SERIES_KEY).orderBy("__day")
+    prev_bounds = bounds.withColumn(
+        "__prev_last", F.lag("__last_ts").over(w_b)
+    ).select(*SERIES_KEY, "__day", "__prev_last")
+    out = out.join(F.broadcast(prev_bounds), [*SERIES_KEY, "__day"], "left")
+    return out.withColumn(
+        "lat_us",
+        F.col("__ts_us") - F.coalesce("__prev_in", "__prev_last"),
+    ).drop("__prev_in", "__prev_last")
+
+
+def prepare_with_latency(
+    df: DataFrame, n_parts: int | None = None, bucket_s: int = 86400
+) -> DataFrame:
+    """The shared pipeline head: series/day layout (one exchange) +
+    partition-local inter-turn latency. Persist this and every tier
+    aggregation runs exchange-free from the cached layout (InMemoryRelation
+    preserves the HashPartitioning metadata)."""
+    return _add_lat_within_layout(prepare_series_layout(df, n_parts, bucket_s))
+
+
+def rollup_tiers_onepass(
+    df: DataFrame,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    n_parts: int | None = None,
+    prepared: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """All retention tiers from ONE shuffle of the raw table.
+
+    Returns {tier: rollup DataFrame} with the full rollup_tier column set
+    (exact percentiles included). Execute the values against a shared
+    persisted layout (or in one action via unionByName) and the physical
+    plan contains a single raw-data Exchange; every window/groupBy is
+    partition-local. The alternative (rollup_tier per tier) shuffles raw
+    once per tier; at 100 TB that is the difference between one and three
+    petabyte-scale shuffles."""
+    pre = (
+        prepared
+        if prepared is not None
+        else prepare_with_latency(df, n_parts)
+    )
+    out: dict[str, DataFrame] = {}
+    for tier in tiers:
+        secs = TIERS[tier]
+        win_us = secs * 1_000_000
+        grouped = (
+            pre.withColumn(
+                "__w_us", F.expr(f"(__ts_us div {win_us}) * {win_us}")
+            )
+            .withColumn("__val_q", F.floor(F.col("value") * 1e6))
+            .groupBy(*SERIES_KEY, "__day", "__w_us")
+            .agg(
+                F.count(F.lit(1)).alias("turn_count"),
+                F.sum(
+                    F.when(F.col("value").isNull(), 1).otherwise(0)
+                ).alias("lossy_count"),
+                F.sum("lat_us").alias("__lat_sum"),
+                F.count("lat_us").alias("__lat_cnt"),
+                F.min("lat_us").alias("__lat_min"),
+                F.max("lat_us").alias("__lat_max"),
+                F.sort_array(F.collect_list("lat_us")).alias("__lat_arr"),
+                F.sum("__val_q").alias("__val_sum"),
+                F.count("__val_q").alias("__val_cnt"),
+            )
+        )
+        out[tier] = grouped.select(
+            "conv_id",
+            "tool",
+            "role",
+            F.expr(f"timestampadd(MICROSECOND, __w_us, {EPOCH_NTZ})").alias(
+                "window_start"
+            ),
+            F.expr(
+                f"timestampadd(MICROSECOND, __w_us + {win_us}, {EPOCH_NTZ})"
+            ).alias("window_end"),
+            "turn_count",
+            "lossy_count",
+            (
+                F.col("__lat_sum").cast("double")
+                / F.col("__lat_cnt").cast("double")
+                / 1e6
+            ).alias("lat_avg"),
+            (F.col("__lat_min").cast("double") / 1e6).alias("lat_min"),
+            (F.col("__lat_max").cast("double") / 1e6).alias("lat_max"),
+            F.expr(_pct_from_sorted("__lat_arr", 0.5)).alias("lat_p50"),
+            F.expr(_pct_from_sorted("__lat_arr", 0.95)).alias("lat_p95"),
+            F.expr(_pct_from_sorted("__lat_arr", 0.99)).alias("lat_p99"),
+            (
+                F.col("__val_sum").cast("double")
+                / F.col("__val_cnt").cast("double")
+                / 1e6
+            ).alias("val_avg"),
+            (
+                F.col("turn_count").cast("double") / F.lit(float(secs))
+            ).alias("activity_rate"),
+        )
+    return out
 
 
 def cascade_rollup(finer: DataFrame, from_tier: str, to_tier: str) -> DataFrame:

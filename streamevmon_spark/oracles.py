@@ -212,6 +212,62 @@ def cascade_oracle(to_tier: str) -> str:
     )
 
 
+def retention_oracle(tier: str, now_ts: str, horizon_s: int) -> str:
+    """Retention filter over the tier rollup: survivors only."""
+    return (
+        f"SELECT * FROM ({rollup_oracle(tier)}) WHERE window_start >= "
+        f"TIMESTAMP '{now_ts}' - INTERVAL {horizon_s} SECOND"
+    )
+
+
+def expired_partitions_oracle(tier: str, now_ts: str, horizon_s: int) -> str:
+    return f"""
+SELECT CAST(window_start AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS rows_dropped
+FROM ({rollup_oracle(tier)})
+WHERE window_start < TIMESTAMP '{now_ts}' - INTERVAL {horizon_s} SECOND
+GROUP BY CAST(window_start AS DATE)
+"""
+
+
+def stream_rollup_oracle(tier: str) -> str:
+    """The streaming continuous aggregate's algebraic columns must equal
+    the batch rollup's."""
+    return (
+        "SELECT conv_id, tool, role, window_start, turn_count, "
+        "lossy_count, val_avg, activity_rate "
+        f"FROM ({rollup_oracle(tier)})"
+    )
+
+
+def stream_latency_oracle() -> str:
+    body = f"""
+, {_LAT_CTE}
+SELECT conv_id, tool, role, turn_idx, ts, CAST(lat_us AS BIGINT) AS lat_us
+FROM lat
+"""
+    return with_transcripts(body)
+
+
+def media_metadata_oracle() -> str:
+    """DuckDB mirror of multimodal.synth_media → media_metadata."""
+    kind = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
+    width = "[320,640,1280][CAST(doc_id % 3 AS INT) + 1]"
+    rate = "[8000,16000,44100][CAST(doc_id % 3 AS INT) + 1]"
+    return f"""
+SELECT doc_id AS media_id,
+       {kind} AS kind,
+       CAST(octet_length(encode(repeat(text, 4))) AS BIGINT)
+           AS payload_bytes,
+       md5(repeat(text, 4)) AS payload_md5,
+       CAST({width} AS INTEGER) AS width,
+       CAST(floor({width} / 2) AS INTEGER) AS height,
+       CAST(doc_id % 7 + 1 AS INTEGER) AS n_frames,
+       CAST({rate} AS INTEGER) AS sample_rate
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Source-layer oracles (events table; sources/measurements.py)
 # ---------------------------------------------------------------------------

