@@ -61,7 +61,9 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    rollup_secs = sum(v for k, v in timings.items() if k.startswith("rollup_"))
+    rollup_secs = sum(
+        timings.get(k, 0.0) for k in ("rollup_1m", "rollup_1h", "rollup_1d")
+    )
     result = {
         "metric": "rollup+gapfill+codec+sketch suite wall time",
         "value": total,
