@@ -140,6 +140,20 @@ def _q_onepass(tier: str):
     return q
 
 
+def _q_cascade_exact(tier: str):
+    """Continuous-aggregate cascade with EXACT percentiles at every tier
+    (1h/1d derived from stored 1m state by sorted-array merge, raw
+    scanned once) — must equal the direct tier rollup bit-for-bit."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tiers = R.rollup_tiers_cascade_exact(
+            load_transcripts(spark, sf_dir), persist_intermediate=False
+        )
+        return tiers[tier]
+
+    return q
+
+
 def _q_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rollup_tier_salted(load_transcripts(spark, sf_dir), "1m")
 
@@ -339,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_onepass_1h": _q_onepass("1h"),
         "rollup_onepass_1d": _q_onepass("1d"),
         "rollup_1m_salted": _q_rollup_salted,
+        "cascade_exact_1h": _q_cascade_exact("1h"),
+        "cascade_exact_1d": _q_cascade_exact("1d"),
         "cascade_1m_1h": _q_cascade("1m", "1h"),
         "cascade_1h_1d": _q_cascade("1h", "1d"),
         "inter_turn_latency": _q_inter_turn_latency,
@@ -423,6 +439,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_onepass_1h": oracles.rollup_oracle("1h"),
         "rollup_onepass_1d": oracles.rollup_oracle("1d"),
         "rollup_1m_salted": oracles.salted_rollup_oracle("1m"),
+        "cascade_exact_1h": oracles.rollup_oracle("1h"),
+        "cascade_exact_1d": oracles.rollup_oracle("1d"),
         "cascade_1m_1h": oracles.cascade_oracle("1h"),
         "cascade_1h_1d": oracles.cascade_oracle("1d"),
         "inter_turn_latency": oracles.inter_turn_latency_oracle(),

@@ -420,6 +420,134 @@ def rollup_tiers_onepass(
     return out
 
 
+_RAW_AGG_COLS = [
+    "turn_count", "lossy_count", "__lat_sum", "__lat_cnt", "__lat_min",
+    "__lat_max", "__lat_arr", "__val_sum", "__val_cnt",
+]
+
+
+def _raw_to_final(raw: DataFrame, secs: int) -> DataFrame:
+    """Project internal aggregate state to the public rollup columns."""
+    win_us = secs * 1_000_000
+    return raw.select(
+        "conv_id",
+        "tool",
+        "role",
+        F.expr(f"timestampadd(MICROSECOND, __w_us, {EPOCH_NTZ})").alias(
+            "window_start"
+        ),
+        F.expr(
+            f"timestampadd(MICROSECOND, __w_us + {win_us}, {EPOCH_NTZ})"
+        ).alias("window_end"),
+        "turn_count",
+        "lossy_count",
+        (
+            F.col("__lat_sum").cast("double")
+            / F.col("__lat_cnt").cast("double")
+            / 1e6
+        ).alias("lat_avg"),
+        (F.col("__lat_min").cast("double") / 1e6).alias("lat_min"),
+        (F.col("__lat_max").cast("double") / 1e6).alias("lat_max"),
+        F.expr(_pct_from_sorted("__lat_arr", 0.5)).alias("lat_p50"),
+        F.expr(_pct_from_sorted("__lat_arr", 0.95)).alias("lat_p95"),
+        F.expr(_pct_from_sorted("__lat_arr", 0.99)).alias("lat_p99"),
+        (
+            F.col("__val_sum").cast("double")
+            / F.col("__val_cnt").cast("double")
+            / 1e6
+        ).alias("val_avg"),
+        (
+            F.col("turn_count").cast("double") / F.lit(float(secs))
+        ).alias("activity_rate"),
+    )
+
+
+def rollup_tiers_cascade_exact(
+    df: DataFrame,
+    n_parts: int | None = None,
+    persist_intermediate: bool = True,
+) -> dict[str, DataFrame]:
+    """The production continuous-aggregate topology, EXACT at every tier,
+    with the raw table touched exactly once.
+
+    raw → (one exchange into the (series, day) layout, partition-local
+    lag) → 1m aggregate carrying mergeable state — integer sums/counts/
+    min/max AND the sorted per-window latency array — → 1h derived by
+    merging 1m state (``sort_array(flatten(collect_list(arr)))`` is the
+    identical multiset of latencies the direct 1h rollup sees, so even
+    the percentile columns are bit-exact) → 1d likewise from 1h.
+
+    Versus ``rollup_tiers_onepass`` (which persists the 24M-row layout
+    and re-reads it per tier), only the FIRST aggregate ever sees raw
+    rows; the persisted intermediate is the small 1m table. This is the
+    10^12-turn shape: the stored 1m rollup (with sketch/array state)
+    maintains the coarser tiers without rescanning raw, and the exact
+    array state can be swapped for t-digest sketches
+    (operators/sketch_rollup.py) when windows are too dense to keep
+    exact arrays."""
+    pre = _add_lat_within_layout(prepare_series_layout(df, n_parts))
+    win_us_1m = 60 * 1_000_000
+    m1 = (
+        pre.withColumn(
+            "__w_us", F.expr(f"(__ts_us div {win_us_1m}) * {win_us_1m}")
+        )
+        .withColumn("__val_q", F.floor(F.col("value") * 1e6))
+        .groupBy(*SERIES_KEY, "__day", "__w_us")
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+                "lossy_count"
+            ),
+            F.sum("lat_us").alias("__lat_sum"),
+            F.count("lat_us").alias("__lat_cnt"),
+            F.min("lat_us").alias("__lat_min"),
+            F.max("lat_us").alias("__lat_max"),
+            F.sort_array(F.collect_list("lat_us")).alias("__lat_arr"),
+            F.sum("__val_q").alias("__val_sum"),
+            F.count("__val_q").alias("__val_cnt"),
+        )
+    )
+    if persist_intermediate:
+        m1 = m1.persist()
+
+    def merge_up(finer: DataFrame, secs: int) -> DataFrame:
+        win_us = secs * 1_000_000
+        return (
+            finer.withColumn(
+                "__w_up", F.expr(f"(__w_us div {win_us}) * {win_us}")
+            )
+            .groupBy(*SERIES_KEY, "__day", F.col("__w_up").alias("__w_us"))
+            .agg(
+                F.sum("turn_count").alias("turn_count"),
+                F.sum("lossy_count").alias("lossy_count"),
+                F.sum("__lat_sum").alias("__lat_sum"),
+                F.sum("__lat_cnt").alias("__lat_cnt"),
+                F.min("__lat_min").alias("__lat_min"),
+                F.max("__lat_max").alias("__lat_max"),
+                F.sort_array(F.flatten(F.collect_list("__lat_arr"))).alias(
+                    "__lat_arr"
+                ),
+                F.sum("__val_sum").alias("__val_sum"),
+                F.sum("__val_cnt").alias("__val_cnt"),
+            )
+        )
+
+    h1 = merge_up(m1, 3600)
+    if persist_intermediate:
+        h1 = h1.persist()
+    d1 = merge_up(h1, 86400)
+    out = {
+        "1m": _raw_to_final(m1, 60),
+        "1h": _raw_to_final(h1, 3600),
+        "1d": _raw_to_final(d1, 86400),
+    }
+    # expose the persisted state tables so callers can unpersist them
+    # (plan-based cache matching would otherwise serve stale-but-
+    # identical plans to later pipelines)
+    out["_state"] = [m1, h1] if persist_intermediate else []
+    return out
+
+
 def cascade_rollup(finer: DataFrame, from_tier: str, to_tier: str) -> DataFrame:
     """Incremental tier cascade: re-aggregate a finer rollup into a coarser
     tier WITHOUT touching raw data (the continuous-aggregate maintenance
