@@ -283,6 +283,33 @@ def _q_stream_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.curate import curate_corpus
+    from streamevmon_spark.operators.similarity import _dot
+
+    from pyspark.sql import functions as F
+
+    out = curate_corpus(_docs(spark, sf_dir), _embs(spark, sf_dir))
+    return out.select(
+        "doc_id", "text", "n_tokens", "stopword_ratio", "distinct_ratio",
+        "lang_pred",
+        F.sqrt(_dot("embedding", "embedding")).alias("emb_norm"),
+    )
+
+
+def _q_gapfill_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized pandas/Arrow gap-fill kernel — must equal the
+    native-window implementation's oracle bit-for-bit (kernel parity
+    elevated to the driver gate). interp drops lossy-only support rows,
+    matching gap_fill's obs definition."""
+    from streamevmon_spark.operators.gapfill import gap_fill_pandas
+
+    return gap_fill_pandas(
+        load_transcripts(spark, sf_dir), "1h", method="interp",
+        purge_gap_s=7200,
+    )
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.operators.multimodal import (
         media_metadata,
@@ -368,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_streams": _q_zip_streams,
         "gapfill_locf_1h": _q_gapfill("locf"),
         "gapfill_interp_1h": _q_gapfill("interp"),
+        "gapfill_pandas_interp_1h": _q_gapfill_pandas,
         "chunk_table": _q_chunk_table,
         "sketch_1h": _q_sketch_1h,
         # events layer (reference detectors + post-processing)
@@ -426,6 +454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embs("embedding_neardup_pairs",
                                      threshold=0.4),
         "ann_lsh_topk": _q_embs("lsh_ann_topk", n_queries=10, k=5),
+        # composed training-data pipeline (quality -> dedup -> lang ->
+        # embedding attach), oracle-checked end-to-end
+        "curate_corpus": _q_curate,
     }
 
 
@@ -454,6 +485,9 @@ def oracle_sql() -> dict[str, str]:
         "zip_streams": oracles.zip_streams_oracle("click", "view"),
         "gapfill_locf_1h": oracles.gapfill_oracle("1h", "locf", 7200),
         "gapfill_interp_1h": oracles.gapfill_oracle("1h", "interp", 7200),
+        "gapfill_pandas_interp_1h": oracles.gapfill_oracle(
+            "1h", "interp", 7200
+        ),
         "threshold_events": oracles.threshold_oracle(100.0),
         "event_groups": oracles.event_groups_oracle(100.0, 10, 7200),
         # chunk_table / sketch_1h: binary sketch/codec blobs — rows-only
@@ -482,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": docs_oracles.simhash_pairs_oracle(6),
         "ann_cosine_topk": docs_oracles.cosine_topk_oracle(10, 5),
         "embedding_neardup": docs_oracles.embedding_neardup_oracle(0.4),
+        "curate_corpus": docs_oracles.curate_corpus_oracle(),
         # ann_lsh_topk: scale-path ANN — recall tolerance-tested vs
         # cosine_topk in tests; rows-only here
     }

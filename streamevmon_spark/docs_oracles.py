@@ -213,6 +213,39 @@ _DOT = (
 )
 
 
+def curate_corpus_oracle(
+    min_tokens: int = 20,
+    max_stopword_ratio: float = 0.6,
+    min_distinct_ratio: float = 0.3,
+    lang: str = "en",
+) -> str:
+    """Composed pipeline oracle: quality gate + exact dedup + language
+    filter + embedding attach (norm as the oracle-comparable scalar)."""
+    norm = _DOT.format(a="e.embedding", b="e.embedding")
+    return f"""
+WITH q AS ({quality_scores_oracle()}),
+lid AS ({lang_id_oracle()}),
+kept AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS rk
+        FROM documents
+    ) WHERE rk = 1
+)
+SELECT k.doc_id, k.text, q.n_tokens, q.stopword_ratio, q.distinct_ratio,
+       l.lang_pred, sqrt({norm}) AS emb_norm
+FROM kept k
+JOIN q ON q.doc_id = k.doc_id
+JOIN lid l ON l.doc_id = k.doc_id
+LEFT JOIN embeddings e ON e.vec_id = k.doc_id
+WHERE q.n_tokens >= {min_tokens}
+  AND q.stopword_ratio <= {max_stopword_ratio}
+  AND q.distinct_ratio >= {min_distinct_ratio}
+  AND l.lang_pred = '{lang}'
+"""
+
+
 def cosine_topk_oracle(n_queries: int = 10, k: int = 5) -> str:
     dot_qv = _DOT.format(a="q.embedding", b="v.embedding")
     norm = _DOT.format(a="embedding", b="embedding")
