@@ -120,6 +120,25 @@ def _q_detect_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_windowed_distdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.detect import detect_windowed_distdiff
+
+    return detect_windowed_distdiff(
+        load_transcripts(spark, sf_dir), window_s=7 * 86400,
+        recents_count=4, drop_extreme_n=0, z_threshold=0.5,
+        minimum_change=1.02,
+    )
+
+
+def _q_spike_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.detect import spike_detail_stream
+
+    return spike_detail_stream(
+        load_transcripts(spark, sf_dir), lag=5, threshold=2.0,
+        influence=0.1, purge_s=86400,
+    )
+
+
 def _q_frequent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.operators.event_grouping import (
         frequent_event_filter,
@@ -422,6 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             minimum_change=1.05, purge_s=86400,
         ),
         "detect_changepoint": _q_detect_changepoint,
+        "detect_windowed_distdiff": _q_windowed_distdiff,
+        "spike_details": _q_spike_details,
         # retention (age-out policy per tier)
         "retention_1m": _q_retention_1m,
         "retention_expired_parts": _q_retention_expired,

@@ -763,6 +763,123 @@ def changepoint_events(
     return events
 
 
+def spike_details(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    lag: int = 50,
+    threshold: float = 50.0,
+    influence: float = 0.01,
+    purge_s: int = 60,
+) -> list[dict]:
+    """SpikeDetector's side 'detail' output
+    (detectors/spike/SpikeDetector.scala:159-169, SpikeDetail): one
+    record per processed non-lossy row with the signal decision and the
+    smoothing state (mean/std of the lag window) it was taken against.
+    Same state machine as spike_events — indices with signal != 0 are
+    exactly the emitted events (asserted in tests)."""
+    v = np.asarray(values, dtype=np.float64)
+    t = np.asarray(ts_us, dtype=np.int64)
+    purge_us = purge_s * 1_000_000
+    details: list[dict] = []
+    last_obs: int | None = None
+    hist: list[float] = []
+    last_mean = math.nan
+    last_std = math.nan
+    for i in range(v.size):
+        x, ti = float(v[i]), int(t[i])
+        if last_obs is None or ti - last_obs > purge_us:
+            last_obs = ti
+            hist = []
+            last_mean = math.nan
+            last_std = math.nan
+            continue
+        if ti - last_obs >= 0:
+            last_obs = ti
+        if math.isnan(x):
+            continue
+        signal = 0
+        if len(hist) >= lag and abs(x - last_mean) > threshold * last_std:
+            hist.append(influence * x + (1.0 - influence) * hist[-1])
+            signal = 1 if x > last_mean else -1
+        else:
+            hist.append(x)
+        details.append(
+            {
+                "idx": i,
+                "ts_us": ti,
+                "value": x,
+                "signal": signal,
+                "mean": last_mean,
+                "std": last_std,
+            }
+        )
+        if len(hist) > lag:
+            hist.pop(0)
+        a = np.asarray(hist)
+        last_mean = float(a.mean())
+        last_std = float(math.sqrt(np.mean((a - last_mean) ** 2)))
+    return details
+
+
+def windowed_distdiff_events(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    recents_count: int = 20,
+    minimum_change: float = 1.05,
+    z_threshold: float = 5.0,
+    drop_extreme_n: int = 2,
+) -> list[dict]:
+    """WindowedDistDiffDetector.scala:54-149 — the windowed variant of
+    the distribution-difference test: the window's elements sorted by
+    time, first ``recents_count`` non-lossy values = 'old', next
+    ``recents_count`` = 'recent', one test per window (no hysteresis —
+    windows are independent). Severity gates identical to the keyed
+    variant (DistDiffLogic.scala:180-240)."""
+    v = np.asarray(values, dtype=np.float64)
+    t = np.asarray(ts_us, dtype=np.int64)
+    keep = ~np.isnan(v)
+    v, t = v[keep], t[keep]
+    if v.size < 2 * recents_count:
+        return []
+    old_raw = [float(x) for x in v[:recents_count]]
+    rec_raw = [float(x) for x in v[recents_count:2 * recents_count]]
+    if drop_extreme_n:
+        old = sorted(old_raw)[drop_extreme_n:-drop_extreme_n]
+        rec = sorted(rec_raw)[drop_extreme_n:-drop_extreme_n]
+    else:
+        old = sorted(old_raw)
+        rec = sorted(rec_raw)
+    diff = _dist_diff(old, rec, recents_count)
+    if diff < z_threshold:
+        return []
+    old_sum, rec_sum = sum(old), sum(rec)
+    old_range = max(old) - min(old)
+    rec_range = max(rec) - min(rec)
+    change = old_sum / rec_sum if old_sum > rec_sum else rec_sum / old_sum
+    if change < minimum_change or abs(old_sum - rec_sum) < recents_count:
+        return []
+    old_mean = old_sum / len(old)
+    rec_mean = rec_sum / len(rec)
+    if rec_range > 0.25 * old_range and abs(old_mean - rec_mean) < 2 * old_range:
+        return []
+    severity = change_magnitude_severity(old_mean / 1000.0, rec_mean / 1000.0)
+    direction = "increased" if old_mean < rec_mean else "decreased"
+    ti = int(t[2 * recents_count - 1])
+    return [
+        {
+            "idx": int(2 * recents_count - 1),
+            "event_type": "windowed_distdiff_events",
+            "severity": severity,
+            "ts_us": ti,
+            "detection_latency_us": ti - int(t[0]),
+            "description": (
+                f"Distribution has changed. Mean has {direction}"
+                f" from {old_mean} to {rec_mean}"
+            ),
+        }
+    ]
+
+
 DETECTORS = {
     "baseline": baseline_events,
     "spike": spike_events,

@@ -96,6 +96,128 @@ def detect(df: DataFrame, detector: str, **params) -> DataFrame:
     )
 
 
+def detect_windowed_distdiff(
+    df: DataFrame, window_s: int = 3600, **params
+) -> DataFrame:
+    """WindowedDistDiffDetector: one distribution-difference test per
+    (series, tumbling window) — the window bucket simply joins the group
+    key, so the same partition-wise execution applies
+    (reference: detectors/distdiff/WindowedDistDiffDetector.scala:54-149;
+    window wiring runners/unified/schema/TypedStreams.scala:70-72)."""
+    from streamevmon_spark.functions.detectors import (
+        windowed_distdiff_events,
+    )
+
+    win_us = window_s * 1_000_000
+
+    def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = [*SERIES_KEY, "__w_us"]
+        starts = group_starts(pdf, keys)
+        ends = np.concatenate([starts[1:], [len(pdf)]])
+        ts = pdf["__ts_us"].to_numpy(np.int64)
+        vals = pdf["value"].to_numpy(np.float64)
+        rows: list[dict] = []
+        for s, e in zip(starts, ends):
+            head = pdf.iloc[s]
+            for ev in windowed_distdiff_events(vals[s:e], ts[s:e], **params):
+                rows.append(
+                    {
+                        "event_type": ev["event_type"],
+                        "conv_id": head["conv_id"],
+                        "tool": head["tool"],
+                        "role": head["role"],
+                        "severity": ev["severity"],
+                        "ts_us": ev["ts_us"],
+                        "detection_latency_us": ev["detection_latency_us"],
+                        "description": ev["description"],
+                    }
+                )
+        out = pd.DataFrame(
+            rows,
+            columns=["event_type", "conv_id", "tool", "role", "severity",
+                     "ts_us", "detection_latency_us", "description"],
+        )
+        out["ts"] = pd.to_datetime(out["ts_us"].astype("int64"), unit="us")
+        out["severity"] = out["severity"].astype("int32")
+        return out[
+            ["event_type", "conv_id", "tool", "role", "severity", "ts",
+             "detection_latency_us", "description"]
+        ]
+
+    prepped = df.select(
+        *SERIES_KEY,
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("__ts_us"),
+        F.expr(
+            f"(datediff(MICROSECOND, {EPOCH_NTZ}, ts) div {win_us})"
+            f" * {win_us}"
+        ).alias("__w_us"),
+        F.col("turn_idx"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return partitionwise_apply(
+        prepped, [*SERIES_KEY, "__w_us"], ["__ts_us", "turn_idx"],
+        run_batch, EVENT_SCHEMA,
+    )
+
+
+SPIKE_DETAIL_SCHEMA = (
+    "conv_id string, tool string, role string, ts timestamp_ntz, "
+    "value double, signal int, mean double, std double"
+)
+
+
+def spike_detail_stream(df: DataFrame, **params) -> DataFrame:
+    """SpikeDetector's side 'detail' output as a second DataFrame
+    (reference: detectors/spike/SpikeDetector.scala:159-169 ctx.output):
+    per processed row, the signal decision and the smoothing state it was
+    taken against."""
+    from streamevmon_spark.functions.detectors import spike_details
+
+    def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        starts = group_starts(pdf, SERIES_KEY)
+        ends = np.concatenate([starts[1:], [len(pdf)]])
+        ts = pdf["__ts_us"].to_numpy(np.int64)
+        vals = pdf["value"].to_numpy(np.float64)
+        rows: list[dict] = []
+        for s, e in zip(starts, ends):
+            head = pdf.iloc[s]
+            for d in spike_details(vals[s:e], ts[s:e], **params):
+                rows.append(
+                    {
+                        "conv_id": head["conv_id"],
+                        "tool": head["tool"],
+                        "role": head["role"],
+                        "ts_us": d["ts_us"],
+                        "value": d["value"],
+                        "signal": d["signal"],
+                        "mean": d["mean"],
+                        "std": d["std"],
+                    }
+                )
+        out = pd.DataFrame(
+            rows,
+            columns=["conv_id", "tool", "role", "ts_us", "value", "signal",
+                     "mean", "std"],
+        )
+        out["ts"] = pd.to_datetime(out["ts_us"].astype("int64"), unit="us")
+        out["signal"] = out["signal"].astype("int32")
+        return out[
+            ["conv_id", "tool", "role", "ts", "value", "signal", "mean",
+             "std"]
+        ]
+
+    prepped = df.select(
+        *SERIES_KEY,
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("__ts_us"),
+        F.col("turn_idx"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return partitionwise_apply(
+        prepped, SERIES_KEY, ["__ts_us", "turn_idx"], run_batch,
+        SPIKE_DETAIL_SCHEMA,
+    )
+
+
 def detect_all(df: DataFrame, detectors: list[str] | None = None) -> DataFrame:
     """Run several detectors (default config) and union their events —
     the LatencyTSAllDetectors lifecycle (reference:
