@@ -44,6 +44,14 @@ def detect(df: DataFrame, detector: str, **params) -> DataFrame:
         raise ValueError(
             f"unknown detector {detector!r}; have {sorted(DETECTORS)}"
         )
+    # build-time parameter validation (range + cross-parameter
+    # constraints) — the reference validates specs before wiring the DAG
+    # (reference: runners/unified/YamlDagRunner.scala:160,
+    # parameters/HasParameterSpecs.scala); failing here beats failing
+    # inside an executor task hours into a 100 TB run
+    from streamevmon_spark.functions.params import validated
+
+    params = validated(detector, **params)
     kernel = DETECTORS[detector]
 
     def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
