@@ -266,10 +266,12 @@ def _q_retention_expired(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stream_input(spark: SparkSession, sf_dir: str) -> str:
     from streamevmon_spark.streaming.rollup_stream import (
         materialize_transcripts,
+        stream_input_dir,
     )
 
-    out = f"/tmp/stream_transcripts_{sf_dir.strip('/').replace('/', '_')}"
-    return materialize_transcripts(spark, sf_dir, out, n_files=4)
+    return materialize_transcripts(
+        spark, sf_dir, stream_input_dir(sf_dir), n_files=4
+    )
 
 
 def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,6 +38,16 @@ TRANSCRIPT_SCHEMA = (
     "tool string, ts timestamp_ntz, value double"
 )
 
+# bump when materialize_transcripts' on-disk layout changes — the cache
+# marker otherwise reuses a stale layout written by older code
+LAYOUT_VERSION = 2
+
+
+def stream_input_dir(sf_dir: str) -> str:
+    """Canonical (versioned) cache path for a sf_dir's streaming input."""
+    key = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/stream_transcripts_v{LAYOUT_VERSION}_{key}"
+
 
 def materialize_transcripts(
     spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4

@@ -15,8 +15,9 @@ from streamevmon_spark.streaming import rollup_stream as S
 
 
 def _input_dir(spark, sf_dir, tmp_path_factory=None):
-    out = f"/tmp/stream_transcripts_{sf_dir.strip('/').replace('/', '_')}"
-    return S.materialize_transcripts(spark, sf_dir, out, n_files=4)
+    return S.materialize_transcripts(
+        spark, sf_dir, S.stream_input_dir(sf_dir), n_files=4
+    )
 
 
 def _sorted_pdf(df, cols):
