@@ -466,6 +466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_docs(
             "dedup", "ngram_jaccard_pairs", threshold=0.2
         ),
+        # document-frequency-capped variant — the 100 TB shape (drops
+        # stopword-heavy shingles before the self-join)
+        "dedup_ngram_capped": _q_docs(
+            "dedup", "ngram_jaccard_pairs", threshold=0.2, max_doc_freq=50
+        ),
         "dedup_minhash_lsh": _q_docs(
             "dedup", "minhash_lsh_pairs", threshold=0.2
         ),
@@ -476,6 +481,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_embs("cosine_topk", n_queries=10, k=5),
         "embedding_neardup": _q_embs("embedding_neardup_pairs",
                                      threshold=0.4),
+        # hyperplane-LSH candidate generation + exact verify — the scale
+        # path (no quadratic block join); params give deterministic 100%
+        # recall at this threshold/seed, checked vs the exact oracle
+        "embedding_neardup_lsh": _q_embs(
+            "embedding_neardup_lsh", threshold=0.4, n_tables=24,
+            bits_per_table=3,
+        ),
         "ann_lsh_topk": _q_embs("lsh_ann_topk", n_queries=10, k=5),
         # composed training-data pipeline (quality -> dedup -> lang ->
         # embedding attach), oracle-checked end-to-end
@@ -534,11 +546,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": docs_oracles.fingerprints_oracle(),
         "dedup_exact": docs_oracles.exact_dedup_oracle(),
         "dedup_ngram_jaccard": docs_oracles.ngram_jaccard_oracle(0.2),
+        "dedup_ngram_capped": docs_oracles.ngram_jaccard_capped_oracle(
+            0.2, 50
+        ),
         "dedup_minhash_lsh": docs_oracles.minhash_lsh_oracle(0.2),
         "dedup_simhash": docs_oracles.simhash_oracle(),
         "dedup_simhash_pairs": docs_oracles.simhash_pairs_oracle(6),
         "ann_cosine_topk": docs_oracles.cosine_topk_oracle(10, 5),
         "embedding_neardup": docs_oracles.embedding_neardup_oracle(0.4),
+        "embedding_neardup_lsh": docs_oracles.embedding_neardup_oracle(0.4),
         "curate_corpus": docs_oracles.curate_corpus_oracle(),
         # ann_lsh_topk: scale-path ANN — recall tolerance-tested vs
         # cosine_topk in tests; rows-only here

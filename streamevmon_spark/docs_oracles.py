@@ -143,6 +143,37 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
 """
 
 
+def ngram_jaccard_capped_oracle(
+    threshold: float = 0.2, max_doc_freq: int = 50
+) -> str:
+    """Document-frequency-capped Jaccard: shingles appearing in more than
+    ``max_doc_freq`` docs are dropped before the self-join on BOTH the
+    numerator and the denominator — the identical semantics as
+    operators/dedup.ngram_jaccard_pairs(max_doc_freq=...)."""
+    return f"""
+WITH sh0 AS (
+    SELECT doc_id, unnest({_SHINGLE_LIST}) AS shingle FROM documents
+),
+rare AS (
+    SELECT shingle FROM sh0 GROUP BY shingle
+    HAVING count(*) <= {max_doc_freq}
+),
+sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN rare r USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= {threshold}
+"""
+
+
 def minhash_lsh_oracle(
     threshold: float = 0.2,
     k: int = MINHASH_K,

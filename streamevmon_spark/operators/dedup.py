@@ -69,16 +69,42 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.2
+    docs: DataFrame,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word-3-gram shingles for every pair of
-    docs sharing at least one shingle; keep pairs >= threshold."""
+    docs sharing at least one shingle; keep pairs >= threshold.
+
+    ``max_doc_freq``: when set, shingles appearing in more than this many
+    documents are dropped BEFORE the self-join (standard near-dup
+    practice — a stopword-heavy 3-gram shared by millions of docs would
+    otherwise explode the join bucket quadratically). Jaccard is then
+    computed over the filtered shingle sets on both sides (numerator and
+    denominator), i.e. the capped semantics are self-consistent and the
+    DuckDB oracle applies the identical cap.
+    """
     sh = _doc_shingles(docs)
-    # per-doc shingle counts straight from the array — a map-side
-    # projection, not an explode + groupBy shuffle
-    sizes = docs.select(
-        "doc_id", F.size(_shingles()).cast("long").alias("n_shingles")
-    )
+    if max_doc_freq is not None:
+        # document frequency per shingle; keep the rare ones only. One
+        # extra groupBy on the shingle key — linear, and it shrinks every
+        # downstream shuffle.
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+        sizes = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles")
+        )
+    else:
+        # per-doc shingle counts straight from the array — a map-side
+        # projection, not an explode + groupBy shuffle
+        sizes = docs.select(
+            "doc_id", F.size(_shingles()).cast("long").alias("n_shingles")
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -96,9 +122,12 @@ def ngram_jaccard_pairs(
     sb = sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
     )
+    # plain equi-joins: the size tables are one row per doc (NOT
+    # broadcastable at 10^9 docs); AQE still auto-broadcasts them when
+    # they fit under the threshold at small scale.
     out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -189,13 +218,19 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
+            "ni",
             (
                 F.col("ni").cast("double")
                 / (F.col("sa") + F.col("sb") - F.col("ni")).cast("double")
             ).alias("jaccard"),
         )
     )
-    return verified.where(F.col("jaccard") >= threshold)
+    # ni > 0 guard: band collisions between docs sharing ZERO shingles
+    # (hash-collision candidates) must not pass a threshold of 0.0 — the
+    # contract is "near-dup pairs share at least one shingle".
+    return verified.where(
+        (F.col("jaccard") >= threshold) & (F.col("ni") > 0)
+    ).drop("ni")
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
@@ -222,14 +257,49 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance. Pairwise join at
-    test scale; the scale path blocks on fingerprint prefix bands (same
-    trick as MinHash banding over bit groups)."""
+    """Near-duplicate pairs by SimHash Hamming distance — banded, never
+    all-pairs.
+
+    Pigeonhole banding: split the 32 fingerprint bits into
+    ``max_hamming + 1`` contiguous bands. Two fingerprints within Hamming
+    distance ``max_hamming`` differ in at most ``max_hamming`` bit
+    positions, so at least one band is bit-identical on both sides —
+    candidates are exactly the pairs sharing an (band_idx, band_value)
+    key, found with an equi-join (shuffle on band key), then verified
+    with an exact ``bit_count(xor)`` on the candidate set only. No
+    theta/cartesian join anywhere: cost is O(sum over band-buckets of
+    bucket^2) with 2^(32/(h+1))-way dispersion per band, the same shape
+    as MinHash LSH banding above.
+    """
     fp = simhash_fingerprints(docs)
-    a = fp.alias("a")
-    b = fp.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    n_bands = max_hamming + 1
+    # contiguous bit ranges covering [0, 32): first (32 % n_bands) bands
+    # get one extra bit
+    base, extra = divmod(32, n_bands)
+    bands = []
+    start = 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        bands.append(
+            F.concat_ws(
+                "_",
+                F.lit(i),
+                (
+                    F.shiftright(F.col("simhash"), start)
+                    .bitwiseAND(F.lit(mask))
+                ).cast("string"),
+            )
+        )
+        start += width
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, F.col("a.band_key") == F.col("b.band_key"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -238,4 +308,6 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
             ).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+    return cand

@@ -107,9 +107,11 @@ def add_inter_turn_latency_bucketed(
         "__prev_last", F.lag("__last_ts").over(w_b)
     ).select(*SERIES_KEY, "__b", "__prev_last")
 
-    # one row per (series, bucket) — broadcast so the 10^12-row side is
-    # never reshuffled for the patch join
-    df = df.join(F.broadcast(prev_bounds), [*SERIES_KEY, "__b"], "left")
+    # one row per (series, bucket) — NOT force-broadcast: at 10^9 series
+    # x years of days this side scales past any driver budget. The join
+    # key extends the lag window's partitioning, so the big side needs no
+    # extra exchange; AQE still auto-broadcasts when it fits.
+    df = df.join(prev_bounds, [*SERIES_KEY, "__b"], "left")
     lat = F.coalesce(F.col("__prev_in"), F.col("__prev_last"))
     df = df.withColumn("lat_us", F.col("__ts_us") - lat)
     return (
@@ -143,7 +145,10 @@ def rollup_tier(df: DataFrame, tier: str = "1m") -> DataFrame:
     """
     secs = TIERS[tier]
     win_us = secs * 1_000_000
-    with_lat = add_inter_turn_latency(df)
+    # bucketed lag: a hot conversation shards across day buckets instead
+    # of serialising one task (the unbucketed add_inter_turn_latency is
+    # kept for the experiment query only — output is bit-identical)
+    with_lat = add_inter_turn_latency_bucketed(df)
     # epoch-bucket tumbling window: exact integer division, tz-free
     wstart_us = F.expr(
         f"(datediff(MICROSECOND, {EPOCH_NTZ}, ts) div {win_us}) * {win_us}"
@@ -325,7 +330,10 @@ def _add_lat_within_layout(pre: DataFrame) -> DataFrame:
     prev_bounds = bounds.withColumn(
         "__prev_last", F.lag("__last_ts").over(w_b)
     ).select(*SERIES_KEY, "__day", "__prev_last")
-    out = out.join(F.broadcast(prev_bounds), [*SERIES_KEY, "__day"], "left")
+    # plain join (AQE may broadcast): the (series, day) key matches the
+    # layout partitioning, so only the tiny bounds side shuffles; a
+    # forced broadcast would grow with #series x #days and OOM the driver
+    out = out.join(prev_bounds, [*SERIES_KEY, "__day"], "left")
     return out.withColumn(
         "lat_us",
         F.col("__ts_us") - F.coalesce("__prev_in", "__prev_last"),

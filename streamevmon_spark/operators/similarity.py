@@ -21,6 +21,9 @@ query x corpus cross, broadcast-joining the (small) query set.
 
 from __future__ import annotations
 
+# module-level so PySpark can resolve the (stringified, due to the
+# __future__ import) pandas type hints on pandas_udf signatures
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -170,20 +173,14 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 1) -> list[list[float]]:
     ]
 
 
-def lsh_ann_topk(
-    vecs: DataFrame,
-    n_queries: int = 10,
-    k: int = 5,
-    n_tables: int = 16,
-    bits_per_table: int = 4,
-    dim: int = 64,
-    seed: int = 1,
-) -> DataFrame:
-    """Random-hyperplane LSH ANN: bucket by sign-bit sketch per table,
-    exact cosine re-rank within candidate buckets."""
+def _bucket_exprs(
+    n_tables: int, bits_per_table: int, dim: int, seed: int
+) -> list[F.Column]:
+    """One LSH bucket-key column per table: ``bits_per_table`` sign bits
+    from deterministic hyperplanes, prefixed with the table index."""
     planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
-
-    def bucket_expr(table: int) -> F.Column:
+    out = []
+    for table in range(n_tables):
         acc = None
         for r in range(bits_per_table):
             p = planes[table * bits_per_table + r]
@@ -196,13 +193,109 @@ def lsh_ann_topk(
                 ) > 0, F.lit(1 << r)).otherwise(F.lit(0))
             )
             acc = bit if acc is None else acc + bit
-        return F.concat_ws("_", F.lit(table), acc.cast("string"))
+        out.append(F.concat_ws("_", F.lit(table), acc.cast("string")))
+    return out
 
+
+def embedding_neardup_lsh(
+    vecs: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 16,
+    bits_per_table: int = 4,
+    dim: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine >= threshold) via hyperplane-LSH
+    candidate generation + exact verification — the 100 TB path.
+
+    Candidates = pairs of vectors sharing at least one of ``n_tables``
+    LSH buckets (equi-join on the bucket key, never a cross join); each
+    candidate is then verified with the exact ascending-index float64
+    fold cosine, vectorized over the candidate batch in one Arrow pandas
+    UDF. Bit-exact vs the all-pairs oracle on every pair it emits; at
+    threshold 0.9 the probability that a qualifying pair shares NO
+    bucket over 16 tables x 4 bits is < 1e-5 (and recall vs the exact
+    blocked kernel is tolerance-tested in tests/test_trainingdata.py).
+    Cost: one bucket-key shuffle + O(candidates) verify, vs the blocked
+    all-pairs kernel's O((n/block)^2) block joins.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    v = with_norm(vecs)
+    buckets = v.select(
+        "vec_id",
+        F.explode(
+            F.array(*_bucket_exprs(n_tables, bits_per_table, dim, seed))
+        ).alias("bucket"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("__norm").alias("norm_a"),
+    )
+    eb = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("__norm").alias("norm_b"),
+    )
+
+    @pandas_udf("double")
+    def fold_dot(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        # ascending-index float64 accumulation — the identical IEEE-754
+        # addition sequence as aggregate(zip_with(...), 0.0D, +)
+        import numpy as np
+
+        if len(xa) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in xa])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in xb])
+        acc = np.zeros(len(xa))
+        for k in range(A.shape[1]):
+            acc += A[:, k] * B[:, k]
+        return pd.Series(acc)
+
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                fold_dot("emb_a", "emb_b")
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_ann_topk(
+    vecs: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_tables: int = 16,
+    bits_per_table: int = 4,
+    dim: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket by sign-bit sketch per table,
+    exact cosine re-rank within candidate buckets."""
     v = with_norm(vecs)
     buckets = v.select(
         "vec_id", "embedding", "__norm",
         F.explode(
-            F.array(*[bucket_expr(t) for t in range(n_tables)])
+            F.array(*_bucket_exprs(n_tables, bits_per_table, dim, seed))
         ).alias("bucket"),
     )
     q = buckets.where(F.col("vec_id") < n_queries).select(

@@ -88,6 +88,61 @@ def test_ann_lsh_recall_vs_bruteforce(spark, embs):
     assert (m["cosine_e"] == m["cosine_a"]).all()
 
 
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_simhash_pairs_banded_matches_allpairs_no_cartesian(spark, docs):
+    """Pigeonhole banding must be exactly equivalent to the all-pairs
+    Hamming join, with no theta/cartesian join in the physical plan."""
+    import itertools
+
+    from streamevmon_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    out = simhash_pairs(docs, max_hamming=6)
+    plan = _physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in out.collect()}
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(fp), 2):
+        h = bin(fp[a] ^ fp[b]).count("1")
+        if h <= 6:
+            want.add((a, b, h))
+    assert got == want
+
+
+def test_embedding_neardup_lsh_matches_exact_no_cartesian(spark, embs):
+    """LSH-candidate near-dup must reproduce the exact blocked kernel's
+    pair set at the gate parameters (deterministic hyperplanes), with an
+    equi-join — never a cross join — generating candidates."""
+    from streamevmon_spark.operators.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    lsh = embedding_neardup_lsh(
+        embs, threshold=0.4, n_tables=24, bits_per_table=3
+    )
+    plan = _physical_plan(lsh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {(r.vec_a, r.vec_b): r.cosine for r in lsh.collect()}
+    want = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_neardup_pairs(embs, threshold=0.4).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k]  # bit-exact same fold
+
+
 def test_lang_id_marks_english(spark, docs):
     from streamevmon_spark.operators.textstats import lang_id
 
