@@ -526,8 +526,15 @@ def oracle_sql() -> dict[str, str]:
         "threshold_events": oracles.threshold_oracle(100.0),
         "event_groups": oracles.event_groups_oracle(100.0, 10, 7200),
         # chunk_table / sketch_1h: binary sketch/codec blobs — rows-only
-        # frequent_event_filter / detect_*: sequential stateful kernels
-        # (non-SQL-expressible) — rows-only; semantics pinned in tests
+        # frequent_event_filter / remaining detect_*: sequential stateful
+        # kernels (non-SQL-expressible) — rows-only; pinned in tests
+        # loss + baseline folds ARE window-SQL-expressible — full oracles:
+        "detect_loss": oracles.loss_events_oracle(
+            max_history=30, loss_count=3, consecutive_count=2
+        ),
+        "detect_baseline": oracles.baseline_events_oracle(
+            max_history=5, percentile=0.1, threshold=10, purge_s=86400
+        ),
         "retention_1m": oracles.retention_oracle(
             "1m", RETENTION_NOW, RETENTION_HORIZON_S
         ),

@@ -372,3 +372,243 @@ def event_groups_oracle(
     # splice into with_transcripts' CTE list (strip the leading WITH)
     spliced = "," + body.strip().removeprefix("WITH")
     return with_transcripts(spliced)
+
+
+# ---------------------------------------------------------------------------
+# Sequential-detector oracles (functions/detectors.py kernels re-derived as
+# pure window SQL — independent cross-engine checks of the per-key folds)
+# ---------------------------------------------------------------------------
+
+
+def loss_events_oracle(
+    max_history: int = 30,
+    loss_count: int = 10,
+    consecutive_count: int = 5,
+) -> str:
+    """LossDetector as window SQL (reference:
+    detectors/loss/LossDetector.scala:103-185; kernel
+    functions/detectors.loss_events).
+
+    Per series ordered by (ts, turn_idx):
+    - new_count / old_count: lossy counts over the last ``max_history``
+      rows including / excluding the current row (fixed ROWS frames);
+    - new_consecutive: lossy run ending at the row (rn minus the last
+      non-lossy rn), capped at the window length;
+    - consecutive event whenever the run reaches ``consecutive_count``
+      (latency back to the run's first in-window row, via self-join on
+      rn - run + 1);
+    - ratio event when new_count worsens past ``loss_count`` (latency to
+      the NEWEST in-window lossy row — the reference's getOldestLoss
+      quirk);
+    - severity = run/max_history integer division (0 until all-loss).
+    """
+    m = max_history
+    body = f"""
+, base AS (
+    SELECT conv_id, tool, role, ts, turn_idx,
+        CASE WHEN value IS NULL THEN 1 ELSE 0 END AS lossy,
+        epoch_us(ts) AS ts_us,
+        row_number() OVER (
+            PARTITION BY conv_id, tool, role ORDER BY ts, turn_idx
+        ) AS rn
+    FROM transcripts
+),
+w AS (
+    SELECT *,
+        CAST(sum(lossy) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY rn
+            ROWS BETWEEN {m - 1} PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS new_count,
+        CAST(coalesce(sum(lossy) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY rn
+            ROWS BETWEEN {m} PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS old_count,
+        max(CASE WHEN lossy = 1 THEN ts_us END) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY rn
+            ROWS BETWEEN {m - 1} PRECEDING AND CURRENT ROW
+        ) AS newest_loss_us,
+        max(CASE WHEN lossy = 0 THEN rn END) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS last_nonlossy_rn,
+        least(rn, {m}) AS len_recents
+    FROM base
+),
+runs AS (
+    SELECT *,
+        CASE WHEN lossy = 1
+             THEN least(rn - coalesce(last_nonlossy_rn, 0), len_recents)
+             ELSE 0 END AS nc
+    FROM w
+)
+SELECT 'loss_events' AS event_type, r.conv_id, r.tool, r.role,
+       CAST(CASE WHEN r.nc = {m} THEN 1 ELSE 0 END AS INTEGER) AS severity,
+       r.ts,
+       CAST(r.ts_us - s.ts_us AS BIGINT) AS detection_latency_us,
+       'Consecutive loss became worse! ' || r.nc || ' in a row.'
+           AS description
+FROM runs r
+JOIN base s
+  ON s.conv_id = r.conv_id AND s.tool = r.tool AND s.role = r.role
+ AND s.rn = r.rn - r.nc + 1
+WHERE {consecutive_count} > 0 AND r.nc >= {consecutive_count}
+UNION ALL
+SELECT 'loss_events' AS event_type, conv_id, tool, role,
+       CAST(CASE WHEN nc = {m} THEN 1 ELSE 0 END AS INTEGER) AS severity,
+       ts,
+       CAST(ts_us - newest_loss_us AS BIGINT) AS detection_latency_us,
+       'Loss ratio became worse! ' || old_count || '/' || len_recents ||
+           ' -> ' || new_count || '/' || len_recents AS description
+FROM runs
+WHERE {loss_count} > 0 AND new_count > old_count
+  AND new_count >= {loss_count}
+"""
+    return with_transcripts(body)
+
+
+def baseline_events_oracle(
+    max_history: int = 50,
+    percentile: float = 0.10,
+    threshold: float = 25.0,
+    purge_s: int = 600,
+) -> str:
+    """BaselineDetector as window SQL (reference:
+    detectors/baseline/BaselineDetector.scala:52-162; kernel
+    functions/detectors.baseline_events).
+
+    Reset/segment semantics: a point re-enters the reset branch when it
+    is the series' first, its gap from the previous point exceeds the
+    purge, or every point since the last such trigger was lossy (the
+    kernel's last_obs=None propagation). The first non-lossy point of a
+    reset run anchors a segment with recents=[x]; subsequent non-lossy
+    points slide a ``max_history`` window over the segment's non-lossy
+    values, evaluate the commons-math LEGACY percentile on the sorted
+    window, and emit when the change-magnitude severity vs the previous
+    evaluation (0.0 initially, carried ACROSS segments) exceeds
+    ``threshold`` once the window is full.
+    """
+    m = max_history
+    p = percentile
+    purge_us = purge_s * 1_000_000
+    arr = "arr"
+    pos_p = f"({p} * (len({arr}) + 1) / 100.0)"
+    flo = f"CAST(floor({pos_p}) AS INT)"
+    result = f"""
+        CASE WHEN len({arr}) = 1 THEN CAST({arr}[1] AS DOUBLE)
+             WHEN {pos_p} < 1.0 THEN CAST({arr}[1] AS DOUBLE)
+             WHEN {pos_p} >= len({arr})
+                 THEN CAST({arr}[len({arr})] AS DOUBLE)
+             ELSE CAST({arr}[{flo}] AS DOUBLE)
+                  + ({pos_p} - floor({pos_p}))
+                    * (CAST({arr}[{flo} + 1] AS DOUBLE)
+                       - CAST({arr}[{flo}] AS DOUBLE))
+        END"""
+    sev = """
+        CASE WHEN maybe < 1 THEN 1
+             WHEN maybe > 100 THEN 100
+             ELSE CAST(trunc(maybe) AS INTEGER) END"""
+    body = f"""
+, base AS (
+    SELECT conv_id, tool, role, ts, turn_idx, value,
+        CASE WHEN value IS NULL THEN 1 ELSE 0 END AS lossy,
+        epoch_us(ts) AS ts_us,
+        row_number() OVER (
+            PARTITION BY conv_id, tool, role ORDER BY ts, turn_idx
+        ) AS rn
+    FROM transcripts
+),
+trig AS (
+    SELECT *,
+        CASE WHEN lag(ts_us) OVER (
+                 PARTITION BY conv_id, tool, role ORDER BY rn
+             ) IS NULL
+             OR ts_us - lag(ts_us) OVER (
+                 PARTITION BY conv_id, tool, role ORDER BY rn
+             ) > {purge_us}
+             THEN rn END AS r0
+    FROM base
+),
+st AS (
+    SELECT *,
+        max(r0) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS t_r,
+        max(CASE WHEN lossy = 0 THEN rn END) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS last_nl
+    FROM trig
+),
+seg0 AS (
+    SELECT *,
+        (last_nl IS NULL OR last_nl < t_r) AS in_reset
+    FROM st
+),
+seg AS (
+    SELECT *,
+        max(CASE WHEN in_reset AND lossy = 0 THEN rn END) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS seg_id
+    FROM seg0
+),
+nl AS (
+    SELECT * FROM seg
+    WHERE lossy = 0 AND seg_id IS NOT NULL
+      AND (NOT in_reset OR rn = seg_id)
+),
+res0 AS (
+    SELECT *,
+        row_number() OVER (
+            PARTITION BY conv_id, tool, role, seg_id ORDER BY rn
+        ) AS pos,
+        list_sort(list(value) OVER (
+            PARTITION BY conv_id, tool, role, seg_id ORDER BY rn
+            ROWS BETWEEN {m - 1} PRECEDING AND CURRENT ROW
+        )) AS {arr}
+    FROM nl
+),
+res AS (
+    SELECT *, {result} AS result
+    FROM res0 WHERE pos >= 2
+),
+chain AS (
+    SELECT *,
+        coalesce(lag(result) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY rn
+        ), 0.0) AS last_result
+    FROM res
+),
+mag AS (
+    SELECT *,
+        greatest(last_result, result) AS mx,
+        least(last_result, result) AS mn
+    FROM chain
+),
+sev0 AS (
+    SELECT *,
+        CASE WHEN (CASE WHEN mn < 0.1 THEN 4.8
+                        ELSE exp(-0.17949 * ln(mn) + 1.13489) END) < 1.1
+             THEN 1.1
+             ELSE (CASE WHEN mn < 0.1 THEN 4.8
+                        ELSE exp(-0.17949 * ln(mn) + 1.13489) END)
+        END AS basemag
+    FROM mag
+),
+sev1 AS (
+    SELECT *,
+        CASE WHEN (basemag - 1.0) * mn = 0 THEN CAST('inf' AS DOUBLE)
+             ELSE 30.0 * ((mx - mn) / ((basemag - 1.0) * mn)) END AS maybe
+    FROM sev0
+)
+SELECT 'baseline_events' AS event_type, conv_id, tool, role,
+       CAST({sev} AS INTEGER) AS severity,
+       ts,
+       CAST(0 AS BIGINT) AS detection_latency_us,
+       'Observed baseline changed from ' || CAST(last_result AS VARCHAR)
+           || ' to ' || CAST(result AS VARCHAR) AS description
+FROM sev1
+WHERE least(pos, {m}) >= {m} AND {sev} > {threshold}
+"""
+    return with_transcripts(body)
