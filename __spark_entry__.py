@@ -146,7 +146,17 @@ def _q_frequent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = threshold_events(load_transcripts(spark, sf_dir), threshold=100.0)
-    return frequent_event_filter(ev, count=5, interval_s=600, cooldown_s=1200)
+    # sparse per-series events at test scale — scaled-down tiers so the
+    # trigger/cooldown machinery actually exercises (default YAML tiers
+    # never fire on this data)
+    return frequent_event_filter(
+        ev,
+        configs=(
+            ("small", 1, 3600, 7200, 25),
+            ("medium", 2, 14400, 28800, 50),
+            ("large", 3, 86400, 86400, 75),
+        ),
+    )
 
 
 def _q_onepass(tier: str):

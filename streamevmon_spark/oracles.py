@@ -187,7 +187,8 @@ def threshold_oracle(threshold: float = 100.0, severity: int = 100) -> str:
     """SimpleThresholdDetector analogue (stateless predicate)."""
     return with_transcripts(
         "SELECT 'threshold_events' AS event_type, conv_id, tool, role, "
-        f"CAST({severity} AS INTEGER) AS severity, ts, value "
+        f"CAST({severity} AS INTEGER) AS severity, ts, "
+        "CAST(0 AS BIGINT) AS detection_latency_us, value "
         f"FROM transcripts WHERE value > {threshold}"
     )
 
@@ -361,7 +362,8 @@ def event_groups_oracle(
 
     events_sql = (
         "SELECT 'threshold_events' AS event_type, conv_id, tool, role, "
-        "CAST(100 AS INTEGER) AS severity, ts "
+        "CAST(100 AS INTEGER) AS severity, ts, "
+        "CAST(0 AS BIGINT) AS detection_latency_us "
         f"FROM transcripts WHERE value > {threshold}"
     )
     body = GROUP_EVENTS_ORACLE.format(
