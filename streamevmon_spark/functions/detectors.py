@@ -38,8 +38,57 @@ Events are returned as plain dict rows:
 from __future__ import annotations
 
 import math
+from bisect import bisect_left, insort
+from collections import deque
 
 import numpy as np
+
+
+class _RollingMeanStd:
+    """O(1)-amortized rolling population mean/std over a bounded window.
+
+    Running sum / sum-of-squares, exactly refreshed with math.fsum every
+    128 updates to keep float drift ~1e-13 relative. The reference
+    recomputes mean/std from the whole queue per point
+    (SmoothedZScore.scala:104-106) — an O(lag) JVM fold whose rounding
+    already differed from the previous np.mean implementation here, so
+    signal parity is decision-level, not bit-level; pinned vectors and
+    the sf0.01 event sets are asserted unchanged in tests.
+    """
+
+    __slots__ = ("q", "s1", "s2", "ops")
+
+    def __init__(self) -> None:
+        self.q: deque[float] = deque()
+        self.s1 = 0.0
+        self.s2 = 0.0
+        self.ops = 0
+
+    def reset(self) -> None:
+        self.q.clear()
+        self.s1 = 0.0
+        self.s2 = 0.0
+        self.ops = 0
+
+    def push(self, x: float, maxlen: int) -> None:
+        self.q.append(x)
+        self.s1 += x
+        self.s2 += x * x
+        if len(self.q) > maxlen:
+            old = self.q.popleft()
+            self.s1 -= old
+            self.s2 -= old * old
+        self.ops += 1
+        if self.ops >= 128:
+            self.ops = 0
+            self.s1 = math.fsum(self.q)
+            self.s2 = math.fsum(v * v for v in self.q)
+
+    def mean_std(self) -> tuple[float, float]:
+        n = len(self.q)
+        mean = self.s1 / n
+        var = self.s2 / n - mean * mean
+        return mean, math.sqrt(var if var > 0.0 else 0.0)
 
 __all__ = [
     "change_magnitude_severity",
@@ -121,7 +170,7 @@ def spike_events(
     events: list[dict] = []
     last_obs: int | None = None
     last_val: float = math.nan
-    hist: list[float] = []
+    hist = _RollingMeanStd()
     last_mean = math.nan
     last_std = math.nan
     for i in range(v.size):
@@ -129,7 +178,7 @@ def spike_events(
         if last_obs is None or ti - last_obs > purge_us:
             last_obs = ti
             last_val = x  # may be NaN (lossy reset)
-            hist = []
+            hist.reset()
             last_mean = math.nan
             last_std = math.nan
             continue
@@ -138,16 +187,12 @@ def spike_events(
         if math.isnan(x):
             continue
         signal = 0
-        if len(hist) >= lag and abs(x - last_mean) > threshold * last_std:
-            hist.append(influence * x + (1.0 - influence) * hist[-1])
+        if len(hist.q) >= lag and abs(x - last_mean) > threshold * last_std:
+            hist.push(influence * x + (1.0 - influence) * hist.q[-1], lag)
             signal = 1 if x > last_mean else -1
         else:
-            hist.append(x)
-        if len(hist) > lag:
-            hist.pop(0)
-        a = np.asarray(hist)
-        last_mean = float(a.mean())
-        last_std = float(math.sqrt(np.mean((a - last_mean) ** 2)))
+            hist.push(x, lag)
+        last_mean, last_std = hist.mean_std()
         if signal != 0:
             events.append(
                 {
@@ -165,10 +210,11 @@ def spike_events(
 
 # ------------------------------------------------------------- baseline
 
-def _commons_math_percentile(sorted_vals: np.ndarray, p: float) -> float:
+def _commons_math_percentile(sorted_vals, p: float) -> float:
     """commons-math3 Percentile LEGACY estimation (p in [0, 100]) — the
-    evaluator BaselineDetector instantiates (BaselineDetector.scala:97)."""
-    n = sorted_vals.size
+    evaluator BaselineDetector instantiates (BaselineDetector.scala:97).
+    Accepts any pre-sorted indexable sequence."""
+    n = len(sorted_vals)
     if n == 0:
         return math.nan
     if n == 1:
@@ -202,7 +248,12 @@ def baseline_events(
     purge_us = purge_s * 1_000_000
     events: list[dict] = []
     last_obs: int | None = None
-    recents: list[float] = []
+    # insertion-order queue + insort-maintained sorted mirror: O(log h)
+    # search + memmove per point instead of a full O(h log h) sort — the
+    # sorted array is IDENTICAL to np.sort of the window, so the
+    # percentile (and every emitted event) is bit-exact unchanged
+    recents: deque[float] = deque()
+    srt: list[float] = []
     last_result = 0.0
     for i in range(v.size):
         x, ti = float(v[i]), int(t[i])
@@ -211,18 +262,19 @@ def baseline_events(
                 last_obs = None
             else:
                 last_obs = ti
-                recents = [x]
+                recents = deque([x])
+                srt = [x]
             continue
         if ti - last_obs >= 0:
             last_obs = ti
         if math.isnan(x):
             continue
         recents.append(x)
+        insort(srt, x)
         if len(recents) > max_history:
-            recents.pop(0)
-        result = _commons_math_percentile(
-            np.sort(np.asarray(recents)), percentile
-        )
+            old = recents.popleft()
+            del srt[bisect_left(srt, old)]
+        result = _commons_math_percentile(srt, percentile)
         if len(recents) >= max_history:
             severity = change_magnitude_severity(last_result, result)
             if severity > threshold:
@@ -340,7 +392,12 @@ def mode_events(
     purge_us = purge_s * 1_000_000
     events: list[dict] = []
     last_obs: int | None = None
-    history: list[int] = []  # raw int values
+    # incremental state: scaled-value window + count map maintained by
+    # one add/one evict per point (the previous version rebuilt the
+    # whole count dict with a log10/pow per element per point); the
+    # count map is exact integers, so mode selection is bit-identical
+    history: deque[int] = deque()  # scaled values, window order
+    counts: dict[int, int] = {}
     UNSET = -5
     primary_val, primary_cnt = -1, -2
     secondary_val, secondary_cnt = -3, -4
@@ -350,7 +407,8 @@ def mode_events(
         ti = int(t[i])
         if last_obs is None or (purge_us > 0 and ti - last_obs > purge_us):
             last_obs = ti
-            history = []
+            history = deque()
+            counts = {}
             primary_val, primary_cnt = -1, -2
             secondary_val, secondary_cnt = -3, -4
             last_event_val = UNSET
@@ -359,21 +417,27 @@ def mode_events(
             last_obs = ti
         if math.isnan(v[i]):
             continue
-        history.append(int(v[i]))  # Double.toInt truncates toward zero
+        s = _scale_2sf_floor(int(v[i]))  # Double.toInt truncates to zero
+        history.append(s)
+        counts[s] = counts.get(s, 0) + 1
         if len(history) > max_history:
-            history.pop(0)
-        # update modes over scaled values; deterministic tie-break
-        counts: dict[int, int] = {}
-        for h in history:
-            s = _scale_2sf_floor(h)
-            counts[s] = counts.get(s, 0) + 1
-        ranked = sorted(
-            counts.items(), key=lambda kv: (kv[1], kv[0]), reverse=True
-        )
-        primary_val, primary_cnt = ranked[0]
-        if len(ranked) > 1:
-            secondary_val, secondary_cnt = ranked[1]
-        else:
+            old = history.popleft()
+            c = counts[old] - 1
+            if c:
+                counts[old] = c
+            else:
+                del counts[old]
+        # top-2 by (count, value) desc — single pass, deterministic
+        # tie-break pinned as before
+        primary_val, primary_cnt = -1, -2
+        secondary_val, secondary_cnt = -2, -2
+        for val, cnt in counts.items():
+            if (cnt, val) > (primary_cnt, primary_val):
+                secondary_val, secondary_cnt = primary_val, primary_cnt
+                primary_val, primary_cnt = val, cnt
+            elif (cnt, val) > (secondary_cnt, secondary_val):
+                secondary_val, secondary_cnt = val, cnt
+        if len(counts) == 1:
             secondary_val, secondary_cnt = -2, -2
 
         if len(history) < max_history:
@@ -384,7 +448,7 @@ def mode_events(
             continue
         if primary_cnt - secondary_cnt < min_prominence:
             continue
-        if not any(_scale_2sf_floor(h) == last_event_val for h in history):
+        if counts.get(last_event_val, 0) == 0:
             last_event_val = primary_val
             continue
         # ModeDetector.scala:371-383 — the raw Scala arithmetic is kept:
@@ -782,14 +846,14 @@ def spike_details(
     purge_us = purge_s * 1_000_000
     details: list[dict] = []
     last_obs: int | None = None
-    hist: list[float] = []
+    hist = _RollingMeanStd()
     last_mean = math.nan
     last_std = math.nan
     for i in range(v.size):
         x, ti = float(v[i]), int(t[i])
         if last_obs is None or ti - last_obs > purge_us:
             last_obs = ti
-            hist = []
+            hist.reset()
             last_mean = math.nan
             last_std = math.nan
             continue
@@ -798,11 +862,11 @@ def spike_details(
         if math.isnan(x):
             continue
         signal = 0
-        if len(hist) >= lag and abs(x - last_mean) > threshold * last_std:
-            hist.append(influence * x + (1.0 - influence) * hist[-1])
+        if len(hist.q) >= lag and abs(x - last_mean) > threshold * last_std:
+            hist.push(influence * x + (1.0 - influence) * hist.q[-1], lag)
             signal = 1 if x > last_mean else -1
         else:
-            hist.append(x)
+            hist.push(x, lag)
         details.append(
             {
                 "idx": i,
@@ -813,11 +877,7 @@ def spike_details(
                 "std": last_std,
             }
         )
-        if len(hist) > lag:
-            hist.pop(0)
-        a = np.asarray(hist)
-        last_mean = float(a.mean())
-        last_std = float(math.sqrt(np.mean((a - last_mean) ** 2)))
+        last_mean, last_std = hist.mean_std()
     return details
 
 
