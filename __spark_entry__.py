@@ -187,6 +187,15 @@ def _q_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rollup_tier_salted(load_transcripts(spark, sf_dir), "1m")
 
 
+def _q_rollup_guarded(tier: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return R.rollup_tier_guarded(
+            load_transcripts(spark, sf_dir), tier, max_exact_rows=100_000
+        )
+
+    return q
+
+
 def _q_cascade(from_tier: str, to_tier: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_transcripts(spark, sf_dir)
@@ -411,6 +420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_onepass_1h": _q_onepass("1h"),
         "rollup_onepass_1d": _q_onepass("1d"),
         "rollup_1m_salted": _q_rollup_salted,
+        # dense-window guard: exact below the row bound, t-digest above;
+        # no sf0.01 window exceeds the bound, so the exact oracle applies
+        # (the dense routing itself is exercised in tests/test_rollup.py)
+        "rollup_guarded_1h": _q_rollup_guarded("1h"),
         "cascade_exact_1h": _q_cascade_exact("1h"),
         "cascade_exact_1d": _q_cascade_exact("1d"),
         "cascade_1m_1h": _q_cascade("1m", "1h"),
@@ -515,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_onepass_1h": oracles.rollup_oracle("1h"),
         "rollup_onepass_1d": oracles.rollup_oracle("1d"),
         "rollup_1m_salted": oracles.salted_rollup_oracle("1m"),
+        "rollup_guarded_1h": oracles.rollup_oracle("1h"),
         "cascade_exact_1h": oracles.rollup_oracle("1h"),
         "cascade_exact_1d": oracles.rollup_oracle("1d"),
         "cascade_1m_1h": oracles.cascade_oracle("1h"),

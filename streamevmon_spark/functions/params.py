@@ -59,7 +59,8 @@ class LessThan:
 DETECTOR_SPECS: dict[str, tuple[list[ParamSpec], list[LessThan]]] = {
     "baseline": (
         [
-            ParamSpec("max_history", 50, 1, 600),
+            # max 300 mirrors BaselineDetector.scala's spec bound
+            ParamSpec("max_history", 50, 1, 300),
             ParamSpec("percentile", 0.10, 0.0, 1.0),
             ParamSpec("threshold", 25, 0, 100),
             ParamSpec("purge_s", 600, 0, None),
@@ -103,9 +104,15 @@ DETECTOR_SPECS: dict[str, tuple[list[ParamSpec], list[LessThan]]] = {
             ParamSpec("min_frequency", 6, 1, 600),
             ParamSpec("min_prominence", 3, 0, 600),
             ParamSpec("threshold", 7.5, 0, None),
-            ParamSpec("purge_s", 180, 0, None),
+            # 60 mirrors detectorSettings.yaml / ModeDetector.scala
+            # inactivityPurgeTime (and the kernel signature default)
+            ParamSpec("purge_s", 60, 0, None),
         ],
-        [LessThan("min_frequency", "max_history")],
+        [
+            LessThan("min_frequency", "max_history"),
+            # ModeDetector.scala's minProminence < maxHistory constraint
+            LessThan("min_prominence", "max_history"),
+        ],
     ),
     "spike": (
         [

@@ -163,60 +163,96 @@ def gap_fill_pandas(
     method: str = "locf",
     purge_gap_s: int = DEFAULT_PURGE_GAP_S,
 ) -> DataFrame:
-    """Vectorized pandas/Arrow gap-fill kernel (north-star path): one
-    applyInPandas per series group, NumPy searchsorted inside — no
-    per-row Python."""
+    """Vectorized pandas/Arrow gap-fill kernel (north-star path),
+    executed PARTITION-WISE (operators/_partitionwise.py): series are
+    hash-repartitioned and sorted once, then every series in an Arrow
+    batch is filled with NumPy searchsorted in one Python crossing.
+    The previous per-group applyInPandas paid ~1.3 ms of Arrow exchange
+    per (series) group — 4x wall-time vs the native window path at
+    sf0.1; this is the same kernel without the per-group tax, and its
+    output stays bit-identical (same NumPy ops per series)."""
     import pandas as pd  # local import: executors re-import cheaply
+
+    from streamevmon_spark.operators._partitionwise import (
+        group_starts,
+        partitionwise_apply,
+    )
 
     step_us = TIERS[tier] * 1_000_000
     purge_us = purge_gap_s * 1_000_000
 
-    def fill(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def fill_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
-        pdf = pdf[pdf["value"].notna()]
-        if len(pdf) == 0:
-            return pd.DataFrame(
-                columns=["conv_id", "tool", "role", "ts_us", "value_filled",
-                         "fill_method"]
+        starts = group_starts(pdf, SERIES_KEY)
+        ends = np.concatenate([starts[1:], [len(pdf)]])
+        ts_all = pdf["ts_us"].to_numpy(np.int64)
+        val_all = pdf["value"].to_numpy(np.float64)
+        keys = pdf[SERIES_KEY].to_numpy()
+        out_key_idx: list[int] = []
+        out_g: list = []
+        out_val: list = []
+        out_meth: list = []
+        for s, e in zip(starts, ends):
+            # rows arrive sorted by (ts_us, turn_idx): keep the last of
+            # each duplicate timestamp (highest turn_idx wins), drop NaN
+            t_grp = ts_all[s:e]
+            v_grp = val_all[s:e]
+            keep = ~np.isnan(v_grp)
+            t_obs, v_obs = t_grp[keep], v_grp[keep]
+            if t_obs.size == 0:
+                continue
+            last_of_ts = np.r_[t_obs[1:] != t_obs[:-1], True]
+            t = t_obs[last_of_ts]
+            v = v_obs[last_of_ts]
+            lo = (t[0] // step_us) * step_us
+            hi = (t[-1] // step_us) * step_us
+            g = np.arange(lo, hi + step_us, step_us, dtype=np.int64)
+            i0 = np.searchsorted(t, g, side="right") - 1  # last obs <= g
+            i1 = np.searchsorted(t, g, side="left")  # first obs >= g
+            has0, has1 = i0 >= 0, i1 < t.size
+            t0 = np.where(has0, t[np.clip(i0, 0, None)], 0)
+            v0 = np.where(has0, v[np.clip(i0, 0, None)], np.nan)
+            t1 = np.where(has1, t[np.clip(i1, None, t.size - 1)], 0)
+            v1 = np.where(has1, v[np.clip(i1, None, t.size - 1)], np.nan)
+            if method == "locf":
+                ok = has0 & ((g - t0) <= purge_us)
+                out = np.where(ok, v0, np.nan)
+            else:
+                ok = has0 & has1 & ((t1 - t0) <= purge_us)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    frac = (g - t0).astype(np.float64) / (
+                        t1 - t0
+                    ).astype(np.float64)
+                    interp = np.where(t1 == t0, v0, v0 + (v1 - v0) * frac)
+                out = np.where(ok, interp, np.nan)
+            meth = np.where(
+                has0 & (t0 == g), "obs", np.where(ok, method, "none")
             )
-        pdf = pdf.sort_values(["ts_us", "turn_idx"])
-        # canonicalize duplicate timestamps: highest turn_idx wins
-        pdf = pdf.drop_duplicates("ts_us", keep="last")
-        t = pdf["ts_us"].to_numpy(np.int64)
-        v = pdf["value"].to_numpy(np.float64)
-        lo = (t[0] // step_us) * step_us
-        hi = (t[-1] // step_us) * step_us
-        g = np.arange(lo, hi + step_us, step_us, dtype=np.int64)
-        i0 = np.searchsorted(t, g, side="right") - 1  # last obs <= g
-        i1 = np.searchsorted(t, g, side="left")  # first obs >= g
-        has0, has1 = i0 >= 0, i1 < t.size
-        t0 = np.where(has0, t[np.clip(i0, 0, None)], 0)
-        v0 = np.where(has0, v[np.clip(i0, 0, None)], np.nan)
-        t1 = np.where(has1, t[np.clip(i1, None, t.size - 1)], 0)
-        v1 = np.where(has1, v[np.clip(i1, None, t.size - 1)], np.nan)
-        if method == "locf":
-            ok = has0 & ((g - t0) <= purge_us)
-            out = np.where(ok, v0, np.nan)
-        else:
-            ok = has0 & has1 & ((t1 - t0) <= purge_us)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                frac = (g - t0).astype(np.float64) / (t1 - t0).astype(
-                    np.float64
-                )
-                interp = np.where(t1 == t0, v0, v0 + (v1 - v0) * frac)
-            out = np.where(ok, interp, np.nan)
-        meth = np.where(
-            has0 & (t0 == g), "obs", np.where(ok, method, "none")
-        )
+            out_key_idx.append(np.full(g.size, s))
+            out_g.append(g)
+            out_val.append(out)
+            out_meth.append(meth)
+        if not out_g:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype="object"),
+                    "tool": pd.Series([], dtype="object"),
+                    "role": pd.Series([], dtype="object"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "value_filled": pd.Series([], dtype="float64"),
+                    "fill_method": pd.Series([], dtype="object"),
+                }
+            )
+        ki = np.concatenate(out_key_idx)
         return pd.DataFrame(
             {
-                "conv_id": key[0],
-                "tool": key[1],
-                "role": key[2],
-                "ts_us": g,
-                "value_filled": out,
-                "fill_method": meth,
+                "conv_id": keys[ki, 0],
+                "tool": keys[ki, 1],
+                "role": keys[ki, 2],
+                "ts_us": np.concatenate(out_g),
+                "value_filled": np.concatenate(out_val),
+                "fill_method": np.concatenate(out_meth),
             }
         )
 
@@ -227,7 +263,9 @@ def gap_fill_pandas(
         "conv_id string, tool string, role string, ts_us long, "
         "value_filled double, fill_method string"
     )
-    out = prepped.groupBy(*SERIES_KEY).applyInPandas(fill, schema=schema)
+    out = partitionwise_apply(
+        prepped, SERIES_KEY, ["ts_us", "turn_idx"], fill_batch, schema
+    )
     return out.select(
         *SERIES_KEY,
         F.expr(f"timestampadd(MICROSECOND, ts_us, {EPOCH_NTZ})").alias(

@@ -136,6 +136,17 @@ def _pct_from_sorted(arr: str, p: float) -> str:
     )
 
 
+def _with_window_and_quant(with_lat: DataFrame, win_us: int) -> DataFrame:
+    """Attach the epoch-bucket window start (exact integer division,
+    tz-free) and the µs-quantized value column."""
+    wstart_us = F.expr(
+        f"(datediff(MICROSECOND, {EPOCH_NTZ}, ts) div {win_us}) * {win_us}"
+    )
+    return with_lat.withColumn("__w_us", wstart_us).withColumn(
+        "__val_q", F.floor(F.col("value") * 1e6)
+    )
+
+
 def rollup_tier(df: DataFrame, tier: str = "1m") -> DataFrame:
     """Declarative tiered rollup — the exact/correctness path.
 
@@ -149,14 +160,8 @@ def rollup_tier(df: DataFrame, tier: str = "1m") -> DataFrame:
     # of serialising one task (the unbucketed add_inter_turn_latency is
     # kept for the experiment query only — output is bit-identical)
     with_lat = add_inter_turn_latency_bucketed(df)
-    # epoch-bucket tumbling window: exact integer division, tz-free
-    wstart_us = F.expr(
-        f"(datediff(MICROSECOND, {EPOCH_NTZ}, ts) div {win_us}) * {win_us}"
-    )
     grouped = (
-        with_lat
-        .withColumn("__w_us", wstart_us)
-        .withColumn("__val_q", F.floor(F.col("value") * 1e6))
+        _with_window_and_quant(with_lat, win_us)
         .groupBy(*SERIES_KEY, "__w_us")
         .agg(
             F.count(F.lit(1)).alias("turn_count"),
@@ -600,3 +605,143 @@ def cascade_rollup(finer: DataFrame, from_tier: str, to_tier: str) -> DataFrame:
             ).alias("activity_rate"),
         )
     )
+
+
+def rollup_tier_guarded(
+    df: DataFrame, tier: str = "1m", max_exact_rows: int = 100_000
+) -> DataFrame:
+    """rollup_tier with a dense-window guard: windows holding more than
+    ``max_exact_rows`` turns switch their percentile state from the
+    exact sorted array (task-OOM risk: collect_list of a hot series'
+    whole day) to a bounded-size t-digest sketch (functions/tdigest.py).
+
+    Routing is decided by a pre-count over the SAME (series, window) key
+    (shuffle shared / AQE-coalesced), so dense windows never materialise
+    an array at all — the failure mode is prevented, not survived.
+    Sparse windows are bit-identical to rollup_tier (same aggregation,
+    same formula); dense windows carry tolerance-tested approximate
+    percentiles (tests/test_tdigest.py accuracy bounds) and exact
+    algebraic columns. Output schema matches rollup_tier exactly, so
+    with a bound no window exceeds the result is hash-identical to the
+    rollup oracle.
+    """
+    import pandas as pd
+
+    from streamevmon_spark.operators._partitionwise import (
+        group_starts,
+        partitionwise_apply,
+    )
+
+    secs = TIERS[tier]
+    win_us = secs * 1_000_000
+    keys = [*SERIES_KEY, "__w_us"]
+    with_lat = _with_window_and_quant(
+        add_inter_turn_latency_bucketed(df), win_us
+    )
+    counts = with_lat.groupBy(*keys).agg(F.count(F.lit(1)).alias("__wn"))
+    dense_keys = (
+        counts.where(F.col("__wn") > max_exact_rows)
+        .select(*keys)
+        .withColumn("__dense", F.lit(True))
+    )
+    flagged = with_lat.join(dense_keys, keys, "left")
+
+    sparse_out = _raw_to_final(
+        flagged.where(F.col("__dense").isNull())
+        .groupBy(*SERIES_KEY, F.col("__w_us"))
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+                "lossy_count"
+            ),
+            F.sum("lat_us").alias("__lat_sum"),
+            F.count("lat_us").alias("__lat_cnt"),
+            F.min("lat_us").alias("__lat_min"),
+            F.max("lat_us").alias("__lat_max"),
+            F.sort_array(F.collect_list("lat_us")).alias("__lat_arr"),
+            F.sum("__val_q").alias("__val_sum"),
+            F.count("__val_q").alias("__val_cnt"),
+        ),
+        secs,
+    )
+
+    dense = flagged.where(F.col("__dense"))
+    dense_alg = dense.groupBy(*SERIES_KEY, F.col("__w_us")).agg(
+        F.count(F.lit(1)).alias("turn_count"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+            "lossy_count"
+        ),
+        F.sum("lat_us").alias("__lat_sum"),
+        F.count("lat_us").alias("__lat_cnt"),
+        F.min("lat_us").alias("__lat_min"),
+        F.max("lat_us").alias("__lat_max"),
+        F.sum("__val_q").alias("__val_sum"),
+        F.count("__val_q").alias("__val_cnt"),
+    )
+
+    sk_schema = (
+        "conv_id string, tool string, role string, __w_us long, "
+        "lat_p50 double, lat_p95 double, lat_p99 double"
+    )
+
+    def sketch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from streamevmon_spark.functions.tdigest import TDigest
+
+        starts = group_starts(pdf, keys)
+        ends = np.concatenate([starts[1:], [len(pdf)]])
+        lat = pdf["lat_us"].to_numpy(np.float64) / 1e6
+        heads = pdf.iloc[starts]
+        qs = {0.5: [], 0.95: [], 0.99: []}
+        for s, e in zip(starts, ends):
+            td = TDigest.build(lat[s:e])
+            for q in qs:
+                qs[q].append(td.quantile(q))
+        return pd.DataFrame(
+            {
+                "conv_id": heads["conv_id"].to_numpy(),
+                "tool": heads["tool"].to_numpy(),
+                "role": heads["role"].to_numpy(),
+                "__w_us": heads["__w_us"].to_numpy(np.int64),
+                "lat_p50": qs[0.5],
+                "lat_p95": qs[0.95],
+                "lat_p99": qs[0.99],
+            }
+        )
+
+    dense_pct = partitionwise_apply(
+        dense.select(*keys, "lat_us"), keys, [], sketch_batch, sk_schema
+    )
+    dense_out = dense_alg.join(dense_pct, keys).select(
+        "conv_id",
+        "tool",
+        "role",
+        F.expr(f"timestampadd(MICROSECOND, __w_us, {EPOCH_NTZ})").alias(
+            "window_start"
+        ),
+        F.expr(
+            f"timestampadd(MICROSECOND, __w_us + {win_us}, {EPOCH_NTZ})"
+        ).alias("window_end"),
+        "turn_count",
+        "lossy_count",
+        (
+            F.col("__lat_sum").cast("double")
+            / F.col("__lat_cnt").cast("double")
+            / 1e6
+        ).alias("lat_avg"),
+        (F.col("__lat_min").cast("double") / 1e6).alias("lat_min"),
+        (F.col("__lat_max").cast("double") / 1e6).alias("lat_max"),
+        "lat_p50",
+        "lat_p95",
+        "lat_p99",
+        (
+            F.col("__val_sum").cast("double")
+            / F.col("__val_cnt").cast("double")
+            / 1e6
+        ).alias("val_avg"),
+        (
+            F.col("turn_count").cast("double") / F.lit(float(secs))
+        ).alias("activity_rate"),
+    )
+    return sparse_out.unionByName(dense_out)

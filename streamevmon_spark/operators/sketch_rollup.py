@@ -36,7 +36,7 @@ from streamevmon_spark.operators.rollup import (
     EPOCH_NTZ,
     SERIES_KEY,
     TIERS,
-    add_inter_turn_latency,
+    add_inter_turn_latency_bucketed,
 )
 
 _SKETCH_SCHEMA = (
@@ -78,7 +78,8 @@ def sketch_tier(df: DataFrame, tier: str = "1m") -> DataFrame:
         return _head_frame(pdf, starts, blobs)
 
     prepped = (
-        add_inter_turn_latency(df)
+        # bucketed lag — identical lat_us, hot series shard across days
+        add_inter_turn_latency_bucketed(df)
         .withColumn(
             "__w_us",
             F.expr(

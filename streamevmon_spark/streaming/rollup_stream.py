@@ -57,7 +57,12 @@ def materialize_transcripts(
     (sf_dir, n_files) target path."""
     from streamevmon_spark.data.transcripts import load_transcripts
 
-    marker = os.path.join(out_dir, "_SUCCESS")
+    # idempotence marker: parquet's own _SUCCESS lands BEFORE the
+    # mtime-staggering loop, so a crash in between would leave a
+    # permanently-cached directory with uniform mtimes (undefined
+    # micro-batch order). Key the skip check on a separate marker
+    # written only after the utime loop completes.
+    marker = os.path.join(out_dir, "_STAGGER_DONE")
     if not os.path.exists(marker):
         df = load_transcripts(spark, sf_dir)
         (
@@ -79,6 +84,8 @@ def materialize_transcripts(
         for i, f in enumerate(parts):
             p = os.path.join(out_dir, f)
             os.utime(p, (base + i * 2, base + i * 2))
+        with open(marker, "w") as fh:
+            fh.write("ok")
     return out_dir
 
 

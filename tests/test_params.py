@@ -49,3 +49,34 @@ def test_detect_applies_validation(spark, sf_dir):
     df = load_transcripts(spark, sf_dir)
     with pytest.raises(ValueError, match="trigger_count"):
         detect(df, "changepoint", trigger_count=100, max_history=50)
+
+
+def test_spec_defaults_match_kernel_signature_defaults():
+    """Every spec default must equal the kernel function's own keyword
+    default — a drift here silently changes default-config semantics
+    (the mode purge_s=180-vs-60 regression class)."""
+    import inspect
+
+    from streamevmon_spark.functions.detectors import DETECTORS
+    from streamevmon_spark.functions.params import DETECTOR_SPECS
+
+    for name, (specs, _) in DETECTOR_SPECS.items():
+        sig = inspect.signature(DETECTORS[name])
+        kernel_defaults = {
+            p.name: p.default
+            for p in sig.parameters.values()
+            if p.default is not inspect.Parameter.empty
+        }
+        for s in specs:
+            assert s.name in kernel_defaults, (name, s.name)
+            assert s.default == kernel_defaults[s.name], (
+                name, s.name, s.default, kernel_defaults[s.name]
+            )
+
+
+def test_mode_prominence_constraint():
+    from streamevmon_spark.functions.params import validated
+
+    with pytest.raises(ValueError, match="min_prominence"):
+        validated("mode", min_prominence=30, max_history=30)
+    validated("mode", min_prominence=29, max_history=30)

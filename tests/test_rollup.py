@@ -95,3 +95,72 @@ def test_single_shuffle_plan(spark, sf_dir):
     # groupBy must NOT add a third full exchange of the raw data
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 3, plan
+
+
+def test_rollup_guarded_dense_window_routed_to_sketch(spark):
+    """A window above the row bound must produce tolerance-accurate
+    sketch percentiles (never an exact collect_list array), while small
+    windows stay bit-identical to rollup_tier."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.rollup import (
+        rollup_tier,
+        rollup_tier_guarded,
+    )
+
+    n_dense = 50_000
+    base = dt.datetime(2024, 3, 1)
+    # dense: one (conv, tool, role, 1h window) with 50k turns
+    dense = spark.range(n_dense).select(
+        F.lit("conv-hot").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("t").alias("text"),
+        F.lit("none").alias("tool"),
+        (
+            F.lit(base)
+            + F.make_interval(secs=F.col("id").cast("double") * 0.07)
+        ).cast("timestamp_ntz").alias("ts"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    # sparse: a second series with 10 turns in another window
+    sparse = spark.range(10).select(
+        F.lit("conv-cold").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("t").alias("text"),
+        F.lit("none").alias("tool"),
+        (
+            F.lit(base + dt.timedelta(days=2))
+            + F.make_interval(secs=F.col("id").cast("double") * 10)
+        ).cast("timestamp_ntz").alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    df = dense.unionByName(sparse)
+    exact = {
+        (r.conv_id, r.window_start): r
+        for r in rollup_tier(df, "1h").collect()
+    }
+    guarded = {
+        (r.conv_id, r.window_start): r
+        for r in rollup_tier_guarded(df, "1h", max_exact_rows=1000).collect()
+    }
+    assert set(exact) == set(guarded)
+    for k, g in guarded.items():
+        e = exact[k]
+        # algebraic columns always exact
+        for c in ["turn_count", "lossy_count", "lat_avg", "lat_min",
+                  "lat_max", "val_avg", "activity_rate"]:
+            assert getattr(g, c) == getattr(e, c), (k, c)
+        if k[0] == "conv-cold":
+            assert g.lat_p95 == e.lat_p95  # sparse path bit-identical
+        else:
+            # dense path: sketch percentiles within 1% relative of exact
+            for c in ["lat_p50", "lat_p95", "lat_p99"]:
+                ge, ee = getattr(g, c), getattr(e, c)
+                assert ge == ee or abs(ge - ee) <= 0.01 * abs(ee) + 1e-9, (
+                    k, c, ge, ee,
+                )
