@@ -239,6 +239,43 @@ def _q_csv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csv_projection(_events(spark, sf_dir))
 
 
+def _q_smokeping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.sources.measurements import (
+        parse_rtts,
+        smokeping_projection,
+        synth_rtts,
+    )
+
+    return smokeping_projection(parse_rtts(synth_rtts(_events(spark, sf_dir))))
+
+
+def _q_nab_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.sources.measurements import nab_scoring_format
+
+    ev = _events(spark, sf_dir)
+    meas = ev.select(
+        F.col("event_type").alias("stream"), "ts", "value"
+    )
+    events = ev.where(F.col("value") > 150.0).select(
+        F.col("event_type").alias("stream"),
+        "ts",
+        F.lit(100).cast("int").alias("severity"),
+    )
+    return nab_scoring_format(meas, events, scaling="continuous")
+
+
+def _q_single_event_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators.event_grouping import (
+        group_events_single,
+        threshold_events,
+    )
+
+    ev = threshold_events(load_transcripts(spark, sf_dir), threshold=100.0)
+    return group_events_single(ev)
+
+
 def _q_enrich_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.operators.enrich import enrich_broadcast
 
@@ -434,6 +471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "history_scan": _q_history_scan,
         "parse_tags": _q_parse_tags,
         "csv_projection": _q_csv_projection,
+        # scalar-function layer: rtts parse + smokeping median (§2.8)
+        "smokeping_median": _q_smokeping,
+        # NAB lifecycle: filename-keyed scan feeding the scoring format
+        "nab_format": _q_nab_format,
         # join-like operators (broadcast enrichment, positional zip)
         "enrich_meta": _q_enrich_meta,
         "zip_streams": _q_zip_streams,
@@ -445,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events layer (reference detectors + post-processing)
         "threshold_events": _q_threshold,
         "event_groups": _q_event_groups,
+        "single_event_groups": _q_single_event_groups,
         "frequent_event_filter": _q_frequent_filter,
         # sequential detector kernels (reference semantics; pinned-vector
         # tested in tests/test_detectors.py; rows-only driver check)
@@ -540,6 +582,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "parse_tags": oracles.parse_tags_oracle(),
         "csv_projection": oracles.csv_projection_oracle(),
+        "smokeping_median": oracles.smokeping_median_oracle(),
+        "nab_format": oracles.nab_format_oracle(150.0, "continuous"),
+        "single_event_groups": oracles.single_event_groups_oracle(100.0),
         "enrich_meta": oracles.enrich_meta_oracle(),
         "zip_streams": oracles.zip_streams_oracle("click", "view"),
         "gapfill_locf_1h": oracles.gapfill_oracle("1h", "locf", 7200),

@@ -295,6 +295,32 @@ FROM __agg a JOIN __mode m USING (group_id)
 """
 
 
+def group_events_single(events: DataFrame) -> DataFrame:
+    """SingleEventGrouper (reference:
+    events/grouping/SingleEventGrouper.scala:37-57): wrap each event in a
+    singleton EventGroup anchored at eventTime = time - detectionLatency,
+    with the EventGroup derived aggregates collapsing to the member's own
+    values. Trivial projection — whole-stage codegen end-to-end."""
+    lat = (
+        F.col("detection_latency_us")
+        if "detection_latency_us" in events.columns
+        else F.lit(0)
+    )
+    anchor = F.expr(
+        f"timestampadd(MICROSECOND, "
+        f"-{'detection_latency_us' if 'detection_latency_us' in events.columns else '0'}"
+        f", ts)"
+    )
+    return events.select(
+        anchor.alias("start_time"),
+        anchor.alias("end_time"),
+        F.lit(1).cast("long").alias("member_count"),
+        F.col("severity").cast("double").alias("mean_severity"),
+        lat.cast("double").alias("mean_detection_latency_us"),
+        F.col("event_type").alias("mode_event_type"),
+    )
+
+
 # (name, count, interval_s, cooldown_s, severity) — mirrors
 # src/main/resources/eventGrouping-frequentFilter-defaults.yaml
 DEFAULT_FREQUENCY_CONFIGS: tuple[tuple[str, int, int, int, int], ...] = (

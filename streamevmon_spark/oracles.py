@@ -614,3 +614,89 @@ FROM sev1
 WHERE least(pos, {m}) >= {m} AND {sev} > {threshold}
 """
     return with_transcripts(body)
+
+
+def smokeping_median_oracle(n_max: int = 20, n_pings: int = 20) -> str:
+    """DuckDB mirror of synth_rtts -> parse_rtts -> smokeping_projection
+    (sources/measurements.py): identical rtts string construction, the
+    getRtts parse, and the reference's sorted-middle median with
+    floor(x*1000 + 0.5)/1000 rounding."""
+    elems = (
+        f"list_transform(range(1, event_id % {n_max + 1} + 1), i -> "
+        "CASE WHEN (event_id + i) % 11 = 0 THEN 'None' "
+        "ELSE CAST((event_id * 7 + i * 13) % 400 AS VARCHAR) END)"
+    )
+    return f"""
+WITH raw AS (
+    SELECT event_id,
+           -- array_to_string([]) is NULL in DuckDB (Spark array_join
+           -- gives ''); coalesce to match
+           '"[' || coalesce(array_to_string({elems}, ', '), '') || ']"'
+               AS rtts_raw
+    FROM events
+),
+parsed AS (
+    SELECT event_id,
+        CASE WHEN length(substr(rtts_raw, 3, length(rtts_raw) - 4)) = 0
+             THEN CAST([] AS INT[])
+             ELSE list_transform(
+                 string_split(substr(rtts_raw, 3, length(rtts_raw) - 4), ','),
+                 x -> CASE WHEN trim(x) = 'None' THEN NULL
+                           ELSE CAST(trim(x) AS INT) END)
+        END AS rtts
+    FROM raw
+),
+med AS (
+    SELECT event_id, rtts,
+        list_sort(list_transform(list_filter(rtts, x -> x IS NOT NULL),
+                                 x -> CAST(x AS DOUBLE))) AS s
+    FROM parsed
+)
+SELECT event_id,
+    coalesce(array_to_string(list_transform(rtts,
+        x -> coalesce(CAST(x AS VARCHAR), 'None')), ';'), '') AS rtts_canon,
+    CAST(len(s) AS INT) AS n_results,
+    CAST({n_pings} - len(s) AS INT) AS loss,
+    CASE WHEN len(s) = 0 THEN CAST(NULL AS DOUBLE)
+         ELSE floor((CASE WHEN len(s) % 2 != 0 THEN s[len(s) // 2 + 1]
+                          ELSE (s[len(s) // 2] + s[len(s) // 2 + 1]) / 2
+                     END) * 1000 + 0.5) / 1000
+    END AS median
+FROM med
+"""
+
+
+def nab_format_oracle(
+    event_threshold: float = 150.0, scaling: str = "continuous"
+) -> str:
+    """NAB scoring rows over the events table: measurements keyed by
+    (event_type AS stream, ts); threshold events (severity 100) inject
+    their scaled severity at matching timestamps, everything else 0."""
+    score = (
+        "coalesce(CAST(sev AS DOUBLE) / 100.0, 0.0)"
+        if scaling == "continuous"
+        else "CASE WHEN coalesce(sev, 0) > 0 THEN 1.0 ELSE 0.0 END"
+    )
+    return f"""
+WITH m AS (SELECT event_type AS stream, ts, value FROM events),
+ev AS (
+    SELECT event_type AS stream, ts, max(100) AS sev
+    FROM events WHERE value > {event_threshold}
+    GROUP BY event_type, ts
+)
+SELECT m.stream, m.ts, m.value, {score} AS anomaly_score
+FROM m LEFT JOIN ev ON ev.stream = m.stream AND ev.ts = m.ts
+"""
+
+
+def single_event_groups_oracle(threshold: float = 100.0) -> str:
+    """SingleEventGrouper over threshold events: one singleton group per
+    event, anchored at eventTime (latency 0 for threshold events)."""
+    return with_transcripts(
+        "SELECT ts AS start_time, ts AS end_time, "
+        "CAST(1 AS BIGINT) AS member_count, "
+        "CAST(100 AS DOUBLE) AS mean_severity, "
+        "CAST(0 AS DOUBLE) AS mean_detection_latency_us, "
+        "'threshold_events' AS mode_event_type "
+        f"FROM transcripts WHERE value > {threshold}"
+    )

@@ -116,3 +116,136 @@ def csv_projection(events: DataFrame) -> DataFrame:
             F.coalesce(F.col("value").cast("string"), F.lit("")),
         ).alias("csv_row"),
     )
+
+
+def synth_rtts(events: DataFrame, n_max: int = 20) -> DataFrame:
+    """Deterministic line-protocol ``rtts`` field per event — the test
+    stand-in for AMP's ``rtts="[308, None, 302]"`` string (the driver
+    tables carry no array column; the DuckDB oracle builds the identical
+    string, so the parse below is cross-engine checked end-to-end).
+
+    Ping count = event_id % (n_max+1); ping i (1-based) is None when
+    (event_id + i) % 11 == 0, else (event_id*7 + i*13) % 400.
+    """
+    n = F.expr(f"event_id % {n_max + 1}")
+    elems = F.expr(
+        f"transform(sequence(1, event_id % {n_max + 1}), i -> "
+        "CASE WHEN (event_id + i) % 11 = 0 THEN 'None' "
+        "ELSE CAST((event_id * 7 + i * 13) % 400 AS STRING) END)"
+    )
+    body = F.when(n > 0, F.array_join(elems, ", ")).otherwise(F.lit(""))
+    return events.withColumn(
+        "rtts_raw", F.concat(F.lit('"['), body, F.lit(']"'))
+    )
+
+
+def parse_rtts(df: DataFrame, col: str = "rtts_raw") -> DataFrame:
+    """The reference's getRtts parse (measurements/traits/
+    InfluxMeasurementFactory.scala:166-180): drop the 2-char edges
+    (``"[`` / ``]"``), split on commas, trim, ``None`` → NULL, else int.
+    Adds an ``rtts`` array<int> column. Pure built-ins — JVM-side."""
+    inner = f"substring({col}, 3, length({col}) - 4)"
+    return df.withColumn(
+        "rtts",
+        F.expr(
+            f"CASE WHEN length({inner}) = 0 THEN CAST(array() AS ARRAY<INT>) "
+            f"ELSE transform(split({inner}, ','), x -> "
+            "CASE WHEN trim(x) = 'None' THEN CAST(NULL AS INT) "
+            "ELSE CAST(trim(x) AS INT) END) END"
+        ),
+    )
+
+
+def smokeping_projection(
+    df: DataFrame, rtts_col: str = "rtts", n_pings: int = 20
+) -> DataFrame:
+    """Smokeping-style derived columns from a parsed rtts array
+    (reference: measurements/latencyts/LatencyTSSmokeping.scala:92-113):
+
+    - ``results``: the successful pings (non-NULL), as doubles;
+    - ``median``: sorted middle (odd) / mean of the two middles (even),
+      rounded to 3 dp with the reference's round(x*1000)/1000 half-up —
+      spelled floor(x*1000 + 0.5)/1000 so any engine evaluating the
+      same expression gets the identical double; NULL when no results;
+    - ``loss``: n_pings - #results (reference getLoss).
+
+    Also re-serializes the rtts array to a canonical semicolon string
+    (``rtts_canon``) so downstream hash comparisons stay scalar-typed.
+    """
+    results = (
+        f"transform(filter({rtts_col}, x -> x IS NOT NULL), "
+        "x -> CAST(x AS DOUBLE))"
+    )
+    s = f"sort_array({results})"
+    n = f"size({s})"
+    half = f"CAST({n} div 2 AS INT)"
+    mid = (
+        f"CASE WHEN {n} % 2 != 0 THEN element_at({s}, {half} + 1) "
+        f"ELSE (element_at({s}, {half}) + element_at({s}, {half} + 1)"
+        ") / 2 END"
+    )
+    median = (
+        f"CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE floor(({mid}) * 1000 + 0.5) / 1000 END"
+    )
+    canon = (
+        f"array_join(transform({rtts_col}, "
+        "x -> coalesce(CAST(x AS STRING), 'None')), ';')"
+    )
+    return df.select(
+        "event_id",
+        F.expr(canon).alias("rtts_canon"),
+        F.expr(f"CAST({n} AS INT)").alias("n_results"),
+        F.expr(f"CAST({n_pings} - {n} AS INT)").alias("loss"),
+        F.expr(median).alias("median"),
+    )
+
+
+def nab_file_scan(spark: SparkSession, path: str) -> DataFrame:
+    """NAB CSV scan: (timestamp, value) files where the stream id is the
+    source FILENAME (reference: flink/sources/NabFileInputFormat.scala:41-80,
+    stream-from-filename :62). ``input_file_name()`` replaces the
+    reference's per-file single-threaded readers — every file splits and
+    scans in parallel."""
+    df = spark.read.csv(path, header=True, inferSchema=False)
+    return df.select(
+        F.regexp_extract(
+            F.input_file_name(), r"([^/]+)\.csv$", 1
+        ).alias("stream"),
+        F.col("timestamp").cast("timestamp_ntz").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def nab_scoring_format(
+    measurements: DataFrame,
+    events: DataFrame,
+    scaling: str = "continuous",
+) -> DataFrame:
+    """NAB scorer output rows (reference: parameterTuner/.../nab/
+    NabScoringFormatSink.scala:90-160): one row per input measurement
+    (timestamp, value, anomaly_score, label-passthrough); a measurement
+    whose timestamp matches an event carries the event's scaled severity
+    (continuous: severity/100; binary: 1.0 when severity > 0 —
+    NabScoreScalingMode.scala:36-51), all others score 0.
+
+    ``measurements``: (stream, ts, value); ``events``: rows with
+    (stream-compatible key columns, ts, severity). Equi-join on
+    (stream, ts) with max(severity) per timestamp (deterministic stand-in
+    for the reference's first-event-wins queue drain).
+    """
+    ev = events.groupBy("stream", "ts").agg(F.max("severity").alias("__sev"))
+    joined = measurements.join(ev, ["stream", "ts"], "left")
+    if scaling == "continuous":
+        score = F.coalesce(
+            F.col("__sev").cast("double") / 100.0, F.lit(0.0)
+        )
+    elif scaling == "binary":
+        score = F.when(F.coalesce(F.col("__sev"), F.lit(0)) > 0, 1.0).otherwise(
+            0.0
+        )
+    else:
+        raise ValueError(f"unknown scaling mode {scaling!r}")
+    return joined.select(
+        "stream", "ts", "value", score.alias("anomaly_score")
+    )

@@ -96,3 +96,34 @@ def test_zip_streams_positional(spark, sf_dir):
     first = z.orderBy("zip_idx").first()
     assert first["a_event_id"] == a.orderBy("ts", "event_id").first()["event_id"]
     assert first["b_event_id"] == b.orderBy("ts", "event_id").first()["event_id"]
+
+
+def test_nab_file_scan_stream_from_filename(spark, tmp_path):
+    """NAB CSV scan: stream id = source filename, rows parsed in
+    parallel (reference: flink/sources/NabFileInputFormat.scala:41-80)."""
+    from streamevmon_spark.sources.measurements import nab_file_scan
+
+    for name, rows in {
+        "ec2_cpu.csv": ["2014-01-01 00:00:00,1.5", "2014-01-01 00:05:00,2.5"],
+        "speed_7578.csv": ["2015-09-01 12:00:00,60.0"],
+    }.items():
+        (tmp_path / name).write_text("timestamp,value\n" + "\n".join(rows))
+    out = nab_file_scan(spark, str(tmp_path)).collect()
+    by_stream = {}
+    for r in out:
+        by_stream.setdefault(r.stream, []).append((r.ts, r.value))
+    assert set(by_stream) == {"ec2_cpu", "speed_7578"}
+    assert len(by_stream["ec2_cpu"]) == 2
+    assert by_stream["speed_7578"][0][1] == 60.0
+
+
+def test_parse_rtts_edge_cases(spark):
+    """getRtts parse quirks: empty brackets -> [], None -> NULL, spaces
+    trimmed (reference: InfluxMeasurementFactory.scala:166-180)."""
+    from streamevmon_spark.sources.measurements import parse_rtts
+
+    df = spark.createDataFrame(
+        [('"[]"',), ('"[308]"',), ('"[1, None, 3]"',)], "rtts_raw string"
+    )
+    got = [r.rtts for r in parse_rtts(df).collect()]
+    assert got == [[], [308], [1, None, 3]]
