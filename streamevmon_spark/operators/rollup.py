@@ -308,29 +308,49 @@ def prepare_series_layout(
     by conv hash) where a storage-partitioned scan removes even this one
     exchange.
     """
-    bucket_us = bucket_s * 1_000_000
-    # project to the rollup's working set BEFORE the exchange — never
-    # ship the text payload through the shuffle (at 100 TB the text
-    # column dwarfs the numeric columns; Iceberg's scan would prune it,
-    # the explicit select guarantees the same through the cache/persist)
-    pre = (
+    return _layout_projection(df, bucket_s * 1_000_000, n_parts)[1]
+
+
+def _layout_projection(
+    df: DataFrame, bucket_us: int, n_parts: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(projected-but-unshuffled frame, repartitioned layout frame).
+
+    The projection selects the rollup's working set BEFORE the exchange —
+    never ship the text payload through the shuffle (at 100 TB the text
+    column dwarfs the numeric columns; Iceberg's scan would prune it,
+    the explicit select guarantees the same through the cache/persist).
+    """
+    proj = (
         df.select(*SERIES_KEY, "ts", "turn_idx", "value")
         .withColumn("__ts_us", ts_micros("ts"))
         .withColumn("__day", F.expr(f"__ts_us div {bucket_us}"))
     )
     if n_parts:
-        return pre.repartition(n_parts, *SERIES_KEY, "__day")
-    return pre.repartition(*SERIES_KEY, "__day")
+        return proj, proj.repartition(n_parts, *SERIES_KEY, "__day")
+    return proj, proj.repartition(*SERIES_KEY, "__day")
 
 
-def _add_lat_within_layout(pre: DataFrame) -> DataFrame:
+def _add_lat_within_layout(
+    pre: DataFrame, raw: DataFrame | None = None
+) -> DataFrame:
     """Inter-turn latency over a prepare_series_layout frame — the
-    bucketed-lag boundary patch, with every step partition-local."""
+    bucketed-lag boundary patch, with every step partition-local.
+
+    ``raw``: the projected-but-UNSHUFFLED frame the layout was built
+    from. The boundary aggregation must run on it, not on ``pre``: an
+    explicit repartition is a barrier partial aggregation cannot push
+    below, so aggregating the repartitioned frame re-shuffles all raw
+    rows a second time (column pruning makes the two exchange subtrees
+    differ, defeating ReuseExchange — observed in the executed plan).
+    From ``raw``, map-side partial aggregation shrinks the boundary
+    table to one row per (series, day) BEFORE its (tiny) exchange.
+    """
     w_in = Window.partitionBy(*SERIES_KEY, "__day").orderBy("ts", "turn_idx")
     out = pre.withColumn("__prev_in", F.lag("__ts_us").over(w_in))
-    bounds = pre.groupBy(*SERIES_KEY, "__day").agg(
-        F.max("__ts_us").alias("__last_ts")
-    )
+    bounds = (raw if raw is not None else pre).groupBy(
+        *SERIES_KEY, "__day"
+    ).agg(F.max("__ts_us").alias("__last_ts"))
     w_b = Window.partitionBy(*SERIES_KEY).orderBy("__day")
     prev_bounds = bounds.withColumn(
         "__prev_last", F.lag("__last_ts").over(w_b)
@@ -348,11 +368,13 @@ def _add_lat_within_layout(pre: DataFrame) -> DataFrame:
 def prepare_with_latency(
     df: DataFrame, n_parts: int | None = None, bucket_s: int = 86400
 ) -> DataFrame:
-    """The shared pipeline head: series/day layout (one exchange) +
-    partition-local inter-turn latency. Persist this and every tier
-    aggregation runs exchange-free from the cached layout (InMemoryRelation
-    preserves the HashPartitioning metadata)."""
-    return _add_lat_within_layout(prepare_series_layout(df, n_parts, bucket_s))
+    """The shared pipeline head: series/day layout (one exchange of raw
+    rows — the boundary table aggregates map-side from the unshuffled
+    projection) + partition-local inter-turn latency. Persist this and
+    every tier aggregation runs exchange-free from the cached layout
+    (InMemoryRelation preserves the HashPartitioning metadata)."""
+    proj, pre = _layout_projection(df, bucket_s * 1_000_000, n_parts)
+    return _add_lat_within_layout(pre, raw=proj)
 
 
 def rollup_tiers_onepass(
@@ -498,7 +520,8 @@ def rollup_tiers_cascade_exact(
     array state can be swapped for t-digest sketches
     (operators/sketch_rollup.py) when windows are too dense to keep
     exact arrays."""
-    pre = _add_lat_within_layout(prepare_series_layout(df, n_parts))
+    proj, layout = _layout_projection(df, 86400 * 1_000_000, n_parts)
+    pre = _add_lat_within_layout(layout, raw=proj)
     win_us_1m = 60 * 1_000_000
     m1 = (
         pre.withColumn(
