@@ -276,6 +276,18 @@ def _q_single_event_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_events_single(ev)
 
 
+def _q_event_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.detect import event_line_protocol
+    from streamevmon_spark.operators.event_grouping import threshold_events
+
+    ev = threshold_events(
+        load_transcripts(spark, sf_dir), threshold=100.0
+    ).withColumn("description", F.lit(""))
+    return event_line_protocol(ev)
+
+
 def _q_enrich_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.operators.enrich import enrich_broadcast
 
@@ -487,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_events": _q_threshold,
         "event_groups": _q_event_groups,
         "single_event_groups": _q_single_event_groups,
+        "event_line_protocol": _q_event_line_protocol,
         "frequent_event_filter": _q_frequent_filter,
         # sequential detector kernels (reference semantics; pinned-vector
         # tested in tests/test_detectors.py; rows-only driver check)
@@ -585,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "smokeping_median": oracles.smokeping_median_oracle(),
         "nab_format": oracles.nab_format_oracle(150.0, "continuous"),
         "single_event_groups": oracles.single_event_groups_oracle(100.0),
+        "event_line_protocol": oracles.event_line_protocol_oracle(100.0),
         "enrich_meta": oracles.enrich_meta_oracle(),
         "zip_streams": oracles.zip_streams_oracle("click", "view"),
         "gapfill_locf_1h": oracles.gapfill_oracle("1h", "locf", 7200),

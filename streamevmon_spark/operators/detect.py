@@ -243,3 +243,37 @@ def union_events(*event_dfs: DataFrame) -> DataFrame:
     for df in event_dfs[1:]:
         out = out.unionByName(df)
     return out
+
+
+def event_line_protocol(events: DataFrame) -> DataFrame:
+    """Event -> InfluxDB line-protocol string (reference:
+    events/Event.scala:80-107 toLineProtocol): lexically sorted tag set
+    (event_type, stream — our stream key is the amp2-style composite
+    conv_id--tool--role), lexically sorted fields (description,
+    detection_latency in NANOseconds, severity, the i integer suffix),
+    and the epoch-millis-to-nanos timestamp. Pure concat — whole-stage
+    codegen, and byte-identical in any engine evaluating the same
+    template."""
+    lat = (
+        F.col("detection_latency_us")
+        if "detection_latency_us" in events.columns
+        else F.lit(0)
+    )
+    desc = (
+        F.col("description")
+        if "description" in events.columns
+        else F.lit("")
+    )
+    ms = F.expr(f"datediff(MILLISECOND, {EPOCH_NTZ}, ts)")
+    line = F.concat(
+        F.lit("event_type="), F.col("event_type"),
+        F.lit(",stream="), F.col("conv_id"), F.lit("--"), F.col("tool"),
+        F.lit("--"), F.col("role"),
+        F.lit(' description="'), desc,
+        F.lit('",detection_latency='), (lat * 1000).cast("string"),
+        F.lit("i,severity="), F.col("severity").cast("string"),
+        F.lit("i "), (ms * 1_000_000).cast("string"),
+    )
+    return events.select(
+        "event_type", *SERIES_KEY, line.alias("line_protocol")
+    )

@@ -700,3 +700,18 @@ def single_event_groups_oracle(threshold: float = 100.0) -> str:
         "'threshold_events' AS mode_event_type "
         f"FROM transcripts WHERE value > {threshold}"
     )
+
+
+def event_line_protocol_oracle(threshold: float = 100.0) -> str:
+    """Line-protocol serialisation of threshold events — identical
+    concat template as operators/detect.event_line_protocol."""
+    return with_transcripts(
+        "SELECT 'threshold_events' AS event_type, conv_id, tool, role, "
+        "'event_type=threshold_events,stream=' || conv_id || '--' || tool "
+        "|| '--' || role || ' description=\"\",detection_latency=0i,"
+        "severity=100i ' || "
+        "CAST(CAST(datediff('millisecond', "
+        "TIMESTAMP '1970-01-01 00:00:00', ts) AS BIGINT) * 1000000 "
+        "AS VARCHAR) AS line_protocol "
+        f"FROM transcripts WHERE value > {threshold}"
+    )
