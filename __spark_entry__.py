@@ -426,6 +426,23 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(synth_media(_docs(spark, sf_dir)))
 
 
+def _q_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.multimodal import (
+        frame_sample,
+        synth_media,
+    )
+
+    frames = frame_sample(synth_media(_docs(spark, sf_dir)))
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").cast("int").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.session import ensure_workers_can_import
 
@@ -534,6 +551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "media_decode_fake": _q_media_decode,
         "media_frame_sample": _q_frame_sample,
+        # scalar (md5 + length) projection of the sampled frames so the
+        # mapInPandas chunking is hash-checked without raw-blob canon
+        "media_frame_digests": _q_frame_digests,
         # training-data pipeline: text analysis over documents
         "token_counts": _q_docs("textstats", "token_counts"),
         "quality_scores": _q_docs("textstats", "quality_scores"),
@@ -627,9 +647,11 @@ def oracle_sql() -> dict[str, str]:
         "stream_rollup_1m": oracles.stream_rollup_oracle("1m"),
         "stream_latency": oracles.stream_latency_oracle(),
         "media_metadata": oracles.media_metadata_oracle(),
-        # media_decode_fake / media_frame_sample: byte-level pandas-UDF
-        # kernels over binary payloads — rows-only; pinned in
-        # tests/test_multimodal.py
+        # byte-level fake decode re-derived from the ASCII text column;
+        # media_frame_sample stays rows-only (raw binary column), its
+        # digest twin below is the hash-checked variant
+        "media_decode_fake": docs_oracles.media_decode_oracle(),
+        "media_frame_digests": docs_oracles.media_frame_digests_oracle(),
         "token_counts": docs_oracles.token_counts_oracle(),
         "quality_scores": docs_oracles.quality_scores_oracle(),
         "lang_id": docs_oracles.lang_id_oracle(),
@@ -646,6 +668,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": docs_oracles.embedding_neardup_oracle(0.4),
         "embedding_neardup_lsh": docs_oracles.embedding_neardup_oracle(0.4),
         "curate_corpus": docs_oracles.curate_corpus_oracle(),
-        # ann_lsh_topk: scale-path ANN — recall tolerance-tested vs
-        # cosine_topk in tests; rows-only here
+        # full mirror incl. the deterministic hyperplane literals — the
+        # scale-path ANN is oracle-checked end-to-end, not just recall-
+        # tested
+        "ann_lsh_topk": docs_oracles.lsh_ann_topk_oracle(10, 5),
     }

@@ -315,3 +315,133 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
           / (a.nrm * b.nrm) >= {threshold}
 """
+
+
+def lsh_ann_topk_oracle(
+    n_queries: int = 10,
+    k: int = 5,
+    n_tables: int = 16,
+    bits_per_table: int = 4,
+    dim: int = 64,
+    seed: int = 1,
+) -> str:
+    """Full DuckDB mirror of operators/similarity.lsh_ann_topk: the
+    deterministic hyperplanes are pure-Python constants, so the oracle
+    embeds the identical double literals and evaluates the identical
+    ascending-index fold per sign bit (0.0-seeded in Spark vs
+    first-element-seeded list_reduce — equal because 0.0 + x is exact),
+    then the same candidate bucket join + exact cosine re-rank."""
+    from streamevmon_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
+
+    def dot_lit(p: list[float]) -> str:
+        arr = "[" + ", ".join(repr(x) for x in p) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip(embedding, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            "(x, y) -> x + y)"
+        )
+
+    keys = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_lit(planes[t * bits_per_table + r])} > 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(bits_per_table)
+        )
+        keys.append(f"'{t}_' || CAST({bits} AS VARCHAR)")
+    norm = _DOT.format(a="embedding", b="embedding")
+    return f"""
+WITH n AS (
+    SELECT vec_id, embedding, sqrt({norm}) AS nrm,
+           unnest([{", ".join(keys)}]) AS bucket
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, bucket
+    FROM n WHERE vec_id < {n_queries}
+),
+cand AS (
+    SELECT DISTINCT q.query_id, q.q_emb, q.q_nrm, n.vec_id, n.embedding,
+           n.nrm
+    FROM n JOIN q USING (bucket)
+    WHERE n.vec_id != q.query_id
+),
+scored AS (
+    SELECT query_id, vec_id,
+           {_DOT.format(a='q_emb', b='embedding')} / (q_nrm * nrm)
+               AS cosine
+    FROM cand
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+_KIND = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
+    "WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+def media_decode_oracle() -> str:
+    """Byte-level fake-decode features re-derived from the text column
+    (the synthetic payload is the UTF-8 text repeated 4x, and the corpus
+    is pure ASCII, so per-character codepoints == payload bytes;
+    repetition scales n_bytes/sum by 4 and leaves min/max/distinct
+    unchanged). byte_mean divides the identical integer operands NumPy
+    divides (4*sum / 4*len), so the double is bit-exact."""
+    return f"""
+WITH b AS (
+    SELECT doc_id AS media_id, {_KIND} AS kind,
+        list_transform(string_split(text, ''), c -> unicode(c)) AS bl,
+        octet_length(encode(text)) AS tlen
+    FROM documents
+)
+SELECT media_id, kind,
+    CAST(4 * tlen AS BIGINT) AS n_bytes,
+    CAST(4 * list_sum(bl) AS DOUBLE) / CAST(4 * tlen AS DOUBLE)
+        AS byte_mean,
+    CAST(list_min(bl) AS INT) AS byte_min,
+    CAST(list_max(bl) AS INT) AS byte_max,
+    CAST(len(list_distinct(bl)) AS INT) AS distinct_bytes
+FROM b
+"""
+
+
+def media_frame_digests_oracle(
+    frame_bytes: int = 256, every_n: int = 2
+) -> str:
+    """Frame-sampling oracle on scalar columns (md5 + length of each
+    sampled frame instead of the raw binary — blob CSV canon differs
+    between pandas sources, digests don't): reconstruct the payload
+    (text x4), chunk it with the identical ceil-division, sample every
+    ``every_n``-th chunk."""
+    return f"""
+WITH v AS (
+    -- DuckDB has no BLOB substring; the corpus is pure ASCII, so the
+    -- VARCHAR payload's characters ARE the payload bytes (md5 of the
+    -- string hashes the same bytes Spark's md5 of the binary does)
+    SELECT doc_id AS media_id, repeat(text, 4) AS payload
+    FROM documents WHERE {_KIND} = 'video'
+),
+f AS (
+    SELECT media_id, payload,
+        unnest(range(0,
+            (length(payload) + {frame_bytes} - 1) // {frame_bytes},
+            {every_n})) AS frame_idx
+    FROM v
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+    CAST(length(substring(payload, CAST(frame_idx * {frame_bytes} + 1
+        AS BIGINT), {frame_bytes})) AS INT) AS frame_bytes,
+    md5(substring(payload, CAST(frame_idx * {frame_bytes} + 1 AS BIGINT),
+        {frame_bytes})) AS frame_md5
+FROM f
+"""
