@@ -372,6 +372,24 @@ def _q_stream_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_detect_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    path = _stream_input(spark, sf_dir)
+    name = f"q_sdl_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_detect_loss(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            max_history=30, loss_count=3, consecutive_count=2,
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.operators.curate import curate_corpus
     from streamevmon_spark.operators.similarity import _dot
@@ -546,6 +564,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming (watermarked aggregate + keyed state)
         "stream_rollup_1m": _q_stream_rollup,
         "stream_latency": _q_stream_latency,
+        # streaming stateful detector: loss fold state carried across
+        # micro-batches (one file per trigger), equal to the batch
+        # detector and its window-SQL oracle
+        "stream_detect_loss": _q_stream_detect_loss,
         # multimodal columns (binary payload + typed metadata; decode
         # stubbed behind a deterministic fake — see operators/multimodal)
         "media_metadata": _q_media_metadata,
@@ -646,6 +668,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_rollup_1m": oracles.stream_rollup_oracle("1m"),
         "stream_latency": oracles.stream_latency_oracle(),
+        "stream_detect_loss": oracles.loss_events_oracle(
+            max_history=30, loss_count=3, consecutive_count=2
+        ),
         "media_metadata": oracles.media_metadata_oracle(),
         # byte-level fake decode re-derived from the ASCII text column;
         # media_frame_sample stays rows-only (raw binary column), its

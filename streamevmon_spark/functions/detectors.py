@@ -96,6 +96,7 @@ __all__ = [
     "baseline_events",
     "spike_events",
     "loss_events",
+    "loss_fold",
     "mode_events",
     "distdiff_events",
     "changepoint_events",
@@ -309,10 +310,29 @@ def loss_events(
     session-gap reset in the reference. Severity reproduces the
     integer-division quirk (ratio.toInt -> 0 until the window is all
     loss)."""
-    lz = np.asarray(lossy, dtype=bool)
-    t = np.asarray(ts_us, dtype=np.int64)
+    return loss_fold(
+        np.asarray(lossy, dtype=bool),
+        np.asarray(ts_us, dtype=np.int64),
+        [],
+        max_history,
+        loss_count,
+        consecutive_count,
+    )
+
+
+def loss_fold(
+    lz: np.ndarray,
+    t: np.ndarray,
+    recents: list[tuple[bool, int]],
+    max_history: int,
+    loss_count: int,
+    consecutive_count: int,
+) -> list[dict]:
+    """The resumable core of loss_events: continues from (and mutates)
+    an existing ``recents`` window — the Flink keyed-state analogue the
+    streaming path carries across micro-batches
+    (streaming/rollup_stream.stream_detect_loss)."""
     events: list[dict] = []
-    recents: list[tuple[bool, int]] = []  # (lossy, ts)
     for i in range(lz.size):
         old_count = sum(1 for is_l, _ in recents if is_l)
         recents.append((bool(lz[i]), int(t[i])))

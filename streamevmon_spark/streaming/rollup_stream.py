@@ -216,3 +216,90 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_detect_loss(
+    stream: DataFrame,
+    max_history: int = 30,
+    loss_count: int = 10,
+    consecutive_count: int = 5,
+) -> DataFrame:
+    """LossDetector as a genuinely streaming stateful operator: the
+    per-series recents window (the reference's checkpointed queue state,
+    detectors/loss/LossDetector.scala:50-75) is carried across
+    micro-batches in applyInPandasWithState, and each batch continues
+    the identical fold the batch engine runs (functions/detectors.
+    loss_fold) — so drained streaming output equals the batch detector
+    AND the DuckDB window-SQL oracle row for row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from streamevmon_spark.functions.detectors import loss_fold
+    from streamevmon_spark.session import ensure_workers_can_import
+
+    # the state fn closes over loss_fold (pickled by module reference);
+    # workers must be able to import the package even when the cached
+    # stream input skipped the load_transcripts path that usually ships it
+    ensure_workers_can_import(stream.sparkSession)
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            flags, stamps = state.get
+            recents = [
+                (bool(f), int(t)) for f, t in zip(flags, stamps)
+            ]
+        else:
+            recents = []
+        conv_id, tool, role = key
+        rows: list[dict] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            ts_us = (
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+            ).to_numpy(np.int64)
+            lossy = pdf["value"].isna().to_numpy()
+            for ev in loss_fold(
+                lossy, ts_us, recents, max_history, loss_count,
+                consecutive_count,
+            ):
+                rows.append(
+                    {
+                        "event_type": ev["event_type"],
+                        "conv_id": conv_id,
+                        "tool": tool,
+                        "role": role,
+                        "severity": ev["severity"],
+                        "ts_us": ev["ts_us"],
+                        "detection_latency_us": ev["detection_latency_us"],
+                        "description": ev["description"],
+                    }
+                )
+        state.update(
+            ([f for f, _ in recents], [t for _, t in recents])
+        )
+        out = pd.DataFrame(
+            rows,
+            columns=["event_type", "conv_id", "tool", "role", "severity",
+                     "ts_us", "detection_latency_us", "description"],
+        )
+        out["ts"] = pd.to_datetime(out["ts_us"].astype("int64"), unit="us")
+        out["severity"] = out["severity"].astype("int32")
+        yield out[
+            ["event_type", "conv_id", "tool", "role", "severity", "ts",
+             "detection_latency_us", "description"]
+        ]
+
+    return stream.groupBy("conv_id", "tool", "role").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "event_type string, conv_id string, tool string, role string, "
+            "severity int, ts timestamp_ntz, detection_latency_us long, "
+            "description string"
+        ),
+        stateStructType=(
+            "lossy_flags array<boolean>, ts_stamps array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
