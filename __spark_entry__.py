@@ -233,6 +233,18 @@ def _q_parse_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_tags(_events(spark, sf_dir))
 
 
+def _q_amp2_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.sources.measurements import amp2_stream_key
+
+    return amp2_stream_key(_events(spark, sf_dir))
+
+
+def _q_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.sources.measurements import histogram_merge
+
+    return histogram_merge(_events(spark, sf_dir), bucket_width=10.0)
+
+
 def _q_csv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.sources.measurements import csv_projection
 
@@ -517,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_typed_lossy": _q_source_typed_lossy,
         "history_scan": _q_history_scan,
         "parse_tags": _q_parse_tags,
+        "amp2_stream_key": _q_amp2_key,
+        "histogram_merge": _q_histogram_merge,
         "csv_projection": _q_csv_projection,
         # scalar-function layer: rtts parse + smokeping median (§2.8)
         "smokeping_median": _q_smokeping,
@@ -636,6 +650,8 @@ def oracle_sql() -> dict[str, str]:
             "2024-01-01 06:00:00", "2024-01-02 00:00:00"
         ),
         "parse_tags": oracles.parse_tags_oracle(),
+        "amp2_stream_key": oracles.amp2_stream_key_oracle(),
+        "histogram_merge": oracles.histogram_merge_oracle(10.0),
         "csv_projection": oracles.csv_projection_oracle(),
         "smokeping_median": oracles.smokeping_median_oracle(),
         "nab_format": oracles.nab_format_oracle(150.0, "continuous"),

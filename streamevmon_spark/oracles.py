@@ -715,3 +715,27 @@ def event_line_protocol_oracle(threshold: float = 100.0) -> str:
         "AS VARCHAR) AS line_protocol "
         f"FROM transcripts WHERE value > {threshold}"
     )
+
+
+def amp2_stream_key_oracle() -> str:
+    """Composite amp2 stream key — identical concat over the same parsed
+    tag (props JSON ->> k)."""
+    return """
+SELECT event_id,
+       event_type || '--u' || CAST(user_id AS VARCHAR) || '--d' ||
+           CAST(user_id % 10 AS VARCHAR) || '--test--' ||
+           CAST(CAST(props ->> 'k' AS INT) AS VARCHAR) AS stream,
+       ts, value
+FROM events
+"""
+
+
+def histogram_merge_oracle(bucket_width: float = 10.0) -> str:
+    """Bucket-wise histogram merge per (user_id, event_type) series."""
+    return f"""
+SELECT user_id, event_type,
+       floor(value / {bucket_width}) * {bucket_width} AS bucket,
+       CAST(count(*) AS BIGINT) AS bucket_count
+FROM events WHERE value IS NOT NULL
+GROUP BY user_id, event_type, floor(value / {bucket_width}) * {bucket_width}
+"""

@@ -249,3 +249,45 @@ def nab_scoring_format(
     return joined.select(
         "stream", "ts", "value", score.alias("anomaly_score")
     )
+
+
+def amp2_stream_key(events: DataFrame) -> DataFrame:
+    """Amp2-style tag-derived composite stream key (reference:
+    measurements/amp2/Amp2Measurement.scala:55-58,66): stream =
+    (measurementName, source, destination, test) ++ per-type tags joined
+    with ``--``. Mapped onto the events table: measurementName =
+    event_type, source/destination from user_id, test constant, extra
+    tag = the parsed ``k`` prop (getNamedField analogue). One concat
+    projection — the key never requires a parallelism-1 stage."""
+    tagged = parse_tags(events)
+    return tagged.select(
+        "event_id",
+        F.concat_ws(
+            "--",
+            F.col("event_type"),
+            F.concat(F.lit("u"), F.col("user_id").cast("string")),
+            F.concat(F.lit("d"), (F.col("user_id") % 10).cast("string")),
+            F.lit("test"),
+            F.col("tag_k").cast("string"),
+        ).alias("stream"),
+        "ts",
+        "value",
+    )
+
+
+def histogram_merge(events: DataFrame, bucket_width: float = 10.0) -> DataFrame:
+    """esmond Histogram (``value: Map[Double, Int]``) analogue
+    (reference: measurements/esmond/Histogram.scala:36-41): per-row
+    bucket histograms merged per series by bucket-wise count sum. The
+    map column is modeled relationally — one (bucket, count) row per
+    series-bucket — which is the shape a map-typed column explodes to
+    anyway and the only one that partial-aggregates map-side at 100 TB
+    (a map_concat-with-sum UDAF would hold whole maps in agg state)."""
+    bucket = (
+        F.floor(F.col("value") / F.lit(bucket_width)) * F.lit(bucket_width)
+    )
+    return (
+        events.where(F.col("value").isNotNull())
+        .groupBy(*SERIES_KEY, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
