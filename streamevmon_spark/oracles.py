@@ -739,3 +739,161 @@ SELECT user_id, event_type,
 FROM events WHERE value IS NOT NULL
 GROUP BY user_id, event_type, floor(value / {bucket_width}) * {bucket_width}
 """
+
+
+def windowed_distdiff_oracle(
+    window_s: int = 3600,
+    recents_count: int = 20,
+    minimum_change: float = 1.05,
+    z_threshold: float = 5.0,
+    drop_extreme_n: int = 0,
+) -> str:
+    """WindowedDistDiffDetector as SQL (kernel:
+    functions/detectors.windowed_distdiff_events; reference:
+    detectors/distdiff/WindowedDistDiffDetector.scala:54-149,
+    DistDiffLogic.scala:85-240). The KS-style two-pointer walk — with
+    the reference's signed-max quirk (rdiffmax stores the SIGNED rdiff
+    whenever |rdiff| exceeds it) and tie-skip (equal runs advance both
+    pointers, one depth) — runs as a bounded recursive CTE, one step per
+    iteration per (series, window). Only drop_extreme_n=0 is expressible
+    here (the gate config); float ops mirror the kernel's order exactly.
+    """
+    if drop_extreme_n != 0:
+        raise ValueError("oracle supports drop_extreme_n=0 only")
+    rc = recents_count
+    win_us = window_s * 1_000_000
+    inv = f"(CAST(1.0 AS DOUBLE) / {rc})"
+    md = 2 * rc  # max_depth = len(old) + len(rec)
+    sev = """
+        CASE WHEN maybe < 1 THEN 1
+             WHEN maybe > 100 THEN 100
+             ELSE CAST(trunc(maybe) AS INTEGER) END"""
+    body = f"""
+, nl AS (
+    SELECT conv_id, tool, role, value, epoch_us(ts) AS ts_us,
+        (epoch_us(ts) // {win_us}) * {win_us} AS w_us,
+        row_number() OVER (
+            PARTITION BY conv_id, tool, role,
+                         (epoch_us(ts) // {win_us}) * {win_us}
+            ORDER BY ts, turn_idx
+        ) AS rn
+    FROM transcripts WHERE value IS NOT NULL
+),
+g AS (
+    SELECT conv_id, tool, role, w_us,
+        list_sort(list(value ORDER BY rn) FILTER (WHERE rn <= {rc}))
+            AS old,
+        list_sort(list(value ORDER BY rn)
+                  FILTER (WHERE rn > {rc} AND rn <= {2 * rc})) AS rec,
+        min(ts_us) AS t_first,
+        max(CASE WHEN rn = {2 * rc} THEN ts_us END) AS t_last
+    FROM nl
+    GROUP BY conv_id, tool, role, w_us
+    HAVING count(*) >= {2 * rc}
+),
+walk AS (
+    SELECT conv_id, tool, role, w_us, old, rec, t_first, t_last,
+        0 AS io, 0 AS ir, 0 AS depth,
+        -- plain 0.0 binds as DECIMAL(2,1) and silently rounds every
+        -- subsequent step to one decimal — must anchor as DOUBLE
+        CAST(0.0 AS DOUBLE) AS rdiff, CAST(0.0 AS DOUBLE) AS rmax,
+        false AS done, CAST(0.0 AS DOUBLE) AS result
+    FROM g
+    UNION ALL
+    SELECT conv_id, tool, role, w_us, old, rec, t_first, t_last,
+        CASE WHEN io >= len(old) OR ir >= len(rec) THEN io
+             WHEN old[io + 1] < rec[ir + 1] THEN io + 1
+             WHEN old[io + 1] > rec[ir + 1] THEN io
+             ELSE len(list_filter(old, x -> x <= old[io + 1])) END AS io,
+        CASE WHEN io >= len(old) OR ir >= len(rec) THEN ir
+             WHEN old[io + 1] < rec[ir + 1] THEN ir
+             WHEN old[io + 1] > rec[ir + 1] THEN ir + 1
+             ELSE len(list_filter(rec, x -> x <= rec[ir + 1])) END AS ir,
+        CASE WHEN io >= len(old) OR ir >= len(rec) THEN depth
+             ELSE depth + 1 END AS depth,
+        CASE WHEN io >= len(old) OR ir >= len(rec) THEN rdiff
+             WHEN old[io + 1] < rec[ir + 1] THEN rdiff - {inv}
+             WHEN old[io + 1] > rec[ir + 1] THEN rdiff + {inv}
+             ELSE rdiff END AS rdiff,
+        CASE WHEN io >= len(old) OR ir >= len(rec) THEN rmax
+             WHEN old[io + 1] < rec[ir + 1] THEN
+                 CASE WHEN abs(rdiff - {inv}) > rmax THEN rdiff - {inv}
+                      ELSE rmax END
+             WHEN old[io + 1] > rec[ir + 1] THEN
+                 CASE WHEN abs(rdiff + {inv}) > rmax THEN rdiff + {inv}
+                      ELSE rmax END
+             ELSE rmax END AS rmax,
+        (io >= len(old) OR ir >= len(rec)) AS done,
+        CASE WHEN io >= len(old) THEN
+                 CASE WHEN abs(rdiff + (-{inv} * ({md} - depth))) > rmax
+                      THEN abs(rdiff + (-{inv} * ({md} - depth)))
+                      ELSE rmax END
+             WHEN ir >= len(rec) THEN
+                 CASE WHEN abs(rdiff + ({inv} * ({md} - depth))) > rmax
+                      THEN abs(rdiff + ({inv} * ({md} - depth)))
+                      ELSE rmax END
+             ELSE 0.0 END AS result
+    FROM walk WHERE NOT done
+),
+scored AS (
+    SELECT conv_id, tool, role, w_us, old, rec, t_first, t_last,
+        result * sqrt(CAST({md} AS DOUBLE) * {md} / ({md} * 2.0)) AS diff,
+        list_reduce(old, (x, y) -> x + y) AS old_sum,
+        list_reduce(rec, (x, y) -> x + y) AS rec_sum,
+        old[len(old)] - old[1] AS old_range,
+        rec[len(rec)] - rec[1] AS rec_range
+    FROM walk WHERE done
+),
+gated AS (
+    SELECT *,
+        old_sum / len(old) AS old_mean,
+        rec_sum / len(rec) AS rec_mean
+    FROM scored
+    WHERE diff >= {z_threshold}
+      AND (CASE WHEN old_sum > rec_sum THEN old_sum / rec_sum
+                ELSE rec_sum / old_sum END) >= {minimum_change}
+      AND abs(old_sum - rec_sum) >= {rc}
+),
+gated2 AS (
+    SELECT * FROM gated
+    WHERE NOT (rec_range > 0.25 * old_range
+               AND abs(old_mean - rec_mean) < 2 * old_range)
+),
+mag AS (
+    SELECT *,
+        greatest(old_mean / 1000.0, rec_mean / 1000.0) AS mx,
+        least(old_mean / 1000.0, rec_mean / 1000.0) AS mn
+    FROM gated2
+),
+sev1 AS (
+    SELECT *,
+        CASE WHEN (CASE WHEN (CASE WHEN mn < 0.1 THEN 4.8
+                        ELSE exp(-0.17949 * ln(mn) + 1.13489) END) < 1.1
+             THEN 1.1
+             ELSE (CASE WHEN mn < 0.1 THEN 4.8
+                        ELSE exp(-0.17949 * ln(mn) + 1.13489) END)
+             END - 1.0) * mn = 0 THEN CAST('inf' AS DOUBLE)
+             ELSE 30.0 * ((mx - mn) /
+                 ((CASE WHEN (CASE WHEN mn < 0.1 THEN 4.8
+                       ELSE exp(-0.17949 * ln(mn) + 1.13489) END) < 1.1
+                   THEN 1.1
+                   ELSE (CASE WHEN mn < 0.1 THEN 4.8
+                         ELSE exp(-0.17949 * ln(mn) + 1.13489) END)
+                   END - 1.0) * mn))
+        END AS maybe
+    FROM mag
+)
+SELECT 'windowed_distdiff_events' AS event_type, conv_id, tool, role,
+    CAST({sev} AS INTEGER) AS severity,
+    make_timestamp(t_last) AS ts,
+    CAST(t_last - t_first AS BIGINT) AS detection_latency_us,
+    'Distribution has changed. Mean has ' ||
+        CASE WHEN old_mean < rec_mean THEN 'increased' ELSE 'decreased'
+        END || ' from ' || CAST(old_mean AS VARCHAR) || ' to ' ||
+        CAST(rec_mean AS VARCHAR) AS description
+FROM sev1
+"""
+    # the walk CTE is recursive — the whole WITH clause needs the keyword
+    return with_transcripts(body).replace(
+        "WITH transcripts", "WITH RECURSIVE transcripts", 1
+    )
