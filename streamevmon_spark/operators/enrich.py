@@ -51,19 +51,36 @@ def zip_streams(
     left_prefix: str = "a_",
     right_prefix: str = "b_",
 ) -> DataFrame:
-    """Positional zip of two streams ordered by ``order_cols``.
+    """Positional zip of two streams ordered by ``order_cols`` (which
+    must be a total order — ties would make any engine's ordinal
+    assignment arbitrary).
 
-    Scale note: row_number over an unpartitioned window is a single-task
-    sort — fine for the reference's experiment-only use (it, too,
-    serialised through one operator instance). The keyed variant
-    (partition both sides by a series key, zip within key) shards the
-    sort; this mirrors the reference exactly, so the global form is kept.
+    Distributed ordinal assignment (the zipWithIndex pattern) instead of
+    a single-task global row_number: each side is range-partitioned on
+    the order key, ranked within its partitions in parallel, and offset
+    by a prefix sum over the tiny per-partition count table — the global
+    ordinal is identical to a total-order row_number, but no task ever
+    sorts more than one range partition. (The reference serialised both
+    streams through one operator instance, flink/ZipFunction.scala:44-104
+    — this is the parallelism-1 defect the engine removes.)
     """
     def numbered(df: DataFrame, prefix: str) -> DataFrame:
-        w = Window.orderBy(*order_cols)
+        ranged = df.repartitionByRange(*order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+        local = ranged.withColumn("__lrk", F.row_number().over(w_local) - 1)
+        counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+        # tiny table: one row per range partition
+        w_off = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = counts.withColumn(
+            "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+        ).select("__pid", "__off")
         cols = [F.col(c).alias(f"{prefix}{c}") for c in df.columns]
-        return df.select(
-            (F.row_number().over(w) - 1).alias("__zip_idx"), *cols
+        return local.join(offs, "__pid").select(
+            (F.col("__off") + F.col("__lrk")).alias("__zip_idx"), *cols
         )
 
     return numbered(left, left_prefix).join(
