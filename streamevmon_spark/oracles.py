@@ -897,3 +897,220 @@ FROM sev1
     return with_transcripts(body).replace(
         "WITH transcripts", "WITH RECURSIVE transcripts", 1
     )
+
+
+def distdiff_events_oracle(
+    recents_count: int = 20,
+    minimum_change: float = 1.05,
+    z_threshold: float = 5.0,
+    drop_extreme_n: int = 0,
+    purge_s: int = 1200,
+) -> str:
+    """Keyed DistDiffDetector as SQL (kernel:
+    functions/detectors.distdiff_events; reference:
+    detectors/distdiff/DistDiffDetector.scala:54-247):
+
+    - the same reset/segment propagation as the baseline oracle;
+    - per tested point (>= 2*rc non-lossy values into its segment),
+      recents / long_recents are fixed ROWS frames over the segment's
+      non-lossy rows; the KS walk runs in the shared recursive-CTE form;
+    - the in-event hysteresis (enter on an EMITTED event, exit at z/2)
+      collapses to a closed form: reset points (diff < z/2) partition
+      each segment into islands, and exactly the FIRST fully-qualifying
+      point of each island emits. Only drop_extreme_n=0 is expressible.
+    """
+    if drop_extreme_n != 0:
+        raise ValueError("oracle supports drop_extreme_n=0 only")
+    rc = recents_count
+    purge_us = purge_s * 1_000_000
+    inv = f"(CAST(1.0 AS DOUBLE) / {rc})"
+    md = 2 * rc
+    sev = """
+        CASE WHEN maybe < 1 THEN 1
+             WHEN maybe > 100 THEN 100
+             ELSE CAST(trunc(maybe) AS INTEGER) END"""
+    body = f"""
+, base AS (
+    SELECT conv_id, tool, role, ts, turn_idx, value,
+        CASE WHEN value IS NULL THEN 1 ELSE 0 END AS lossy,
+        epoch_us(ts) AS ts_us,
+        row_number() OVER (
+            PARTITION BY conv_id, tool, role ORDER BY ts, turn_idx
+        ) AS rn
+    FROM transcripts
+),
+trig AS (
+    SELECT *,
+        CASE WHEN lag(ts_us) OVER (
+                 PARTITION BY conv_id, tool, role ORDER BY rn
+             ) IS NULL
+             OR ts_us - lag(ts_us) OVER (
+                 PARTITION BY conv_id, tool, role ORDER BY rn
+             ) > {purge_us}
+             THEN rn END AS r0
+    FROM base
+),
+st AS (
+    SELECT *,
+        max(r0) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS t_r,
+        max(CASE WHEN lossy = 0 THEN rn END) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS last_nl
+    FROM trig
+),
+seg0 AS (
+    SELECT *, (last_nl IS NULL OR last_nl < t_r) AS in_reset FROM st
+),
+seg AS (
+    SELECT *,
+        max(CASE WHEN in_reset AND lossy = 0 THEN rn END) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS seg_id
+    FROM seg0
+),
+nl AS (
+    SELECT * FROM seg
+    WHERE lossy = 0 AND seg_id IS NOT NULL
+      AND (NOT in_reset OR rn = seg_id)
+),
+lists AS (
+    SELECT conv_id, tool, role, seg_id, rn, ts_us,
+        row_number() OVER (
+            PARTITION BY conv_id, tool, role, seg_id ORDER BY rn
+        ) AS pos,
+        list_sort(list(value) OVER (
+            PARTITION BY conv_id, tool, role, seg_id ORDER BY rn
+            ROWS BETWEEN {rc - 1} PRECEDING AND CURRENT ROW
+        )) AS rec,
+        list_sort(list(value) OVER (
+            PARTITION BY conv_id, tool, role, seg_id ORDER BY rn
+            ROWS BETWEEN {2 * rc - 1} PRECEDING AND {rc} PRECEDING
+        )) AS old,
+        lag(ts_us, {rc}) OVER (
+            PARTITION BY conv_id, tool, role, seg_id ORDER BY rn
+        ) AS t_oldest
+    FROM nl
+),
+tested AS (SELECT * FROM lists WHERE pos >= {2 * rc}),
+walk AS (
+    SELECT conv_id, tool, role, seg_id, rn, ts_us, t_oldest, old, rec,
+        0 AS io, 0 AS ir, 0 AS depth,
+        CAST(0.0 AS DOUBLE) AS rdiff, CAST(0.0 AS DOUBLE) AS rmax,
+        false AS done, CAST(0.0 AS DOUBLE) AS result
+    FROM tested
+    UNION ALL
+    SELECT conv_id, tool, role, seg_id, rn, ts_us, t_oldest, old, rec,
+        CASE WHEN io >= len(old) OR ir >= len(rec) THEN io
+             WHEN old[io + 1] < rec[ir + 1] THEN io + 1
+             WHEN old[io + 1] > rec[ir + 1] THEN io
+             ELSE len(list_filter(old, x -> x <= old[io + 1])) END AS io,
+        CASE WHEN io >= len(old) OR ir >= len(rec) THEN ir
+             WHEN old[io + 1] < rec[ir + 1] THEN ir
+             WHEN old[io + 1] > rec[ir + 1] THEN ir + 1
+             ELSE len(list_filter(rec, x -> x <= rec[ir + 1])) END AS ir,
+        CASE WHEN io >= len(old) OR ir >= len(rec) THEN depth
+             ELSE depth + 1 END AS depth,
+        CASE WHEN io >= len(old) OR ir >= len(rec) THEN rdiff
+             WHEN old[io + 1] < rec[ir + 1] THEN rdiff - {inv}
+             WHEN old[io + 1] > rec[ir + 1] THEN rdiff + {inv}
+             ELSE rdiff END AS rdiff,
+        CASE WHEN io >= len(old) OR ir >= len(rec) THEN rmax
+             WHEN old[io + 1] < rec[ir + 1] THEN
+                 CASE WHEN abs(rdiff - {inv}) > rmax THEN rdiff - {inv}
+                      ELSE rmax END
+             WHEN old[io + 1] > rec[ir + 1] THEN
+                 CASE WHEN abs(rdiff + {inv}) > rmax THEN rdiff + {inv}
+                      ELSE rmax END
+             ELSE rmax END AS rmax,
+        (io >= len(old) OR ir >= len(rec)) AS done,
+        CASE WHEN io >= len(old) THEN
+                 CASE WHEN abs(rdiff + (-{inv} * ({md} - depth))) > rmax
+                      THEN abs(rdiff + (-{inv} * ({md} - depth)))
+                      ELSE rmax END
+             WHEN ir >= len(rec) THEN
+                 CASE WHEN abs(rdiff + ({inv} * ({md} - depth))) > rmax
+                      THEN abs(rdiff + ({inv} * ({md} - depth)))
+                      ELSE rmax END
+             ELSE 0.0 END AS result
+    FROM walk WHERE NOT done
+),
+scored AS (
+    SELECT conv_id, tool, role, seg_id, rn, ts_us, t_oldest, old, rec,
+        result * sqrt(CAST({md} AS DOUBLE) * {md} / ({md} * 2.0)) AS diff,
+        list_reduce(old, (x, y) -> x + y) AS old_sum,
+        list_reduce(rec, (x, y) -> x + y) AS rec_sum,
+        old[len(old)] - old[1] AS old_range,
+        rec[len(rec)] - rec[1] AS rec_range
+    FROM walk WHERE done
+),
+flagged AS (
+    SELECT *,
+        old_sum / len(old) AS old_mean,
+        rec_sum / len(rec) AS rec_mean,
+        (diff >= {z_threshold}
+         AND (CASE WHEN old_sum > rec_sum THEN old_sum / rec_sum
+                   ELSE rec_sum / old_sum END) >= {minimum_change}
+         AND abs(old_sum - rec_sum) >= {rc}
+         AND NOT (rec_range > 0.25 * old_range
+                  AND abs(old_sum / len(old) - rec_sum / len(rec))
+                      < 2 * old_range)) AS qualifies,
+        (diff < {z_threshold} / 2.0) AS is_reset
+    FROM scored
+),
+islands AS (
+    SELECT *,
+        CAST(coalesce(sum(CASE WHEN is_reset THEN 1 ELSE 0 END) OVER (
+            PARTITION BY conv_id, tool, role, seg_id ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS island
+    FROM flagged
+),
+winners AS (
+    SELECT *,
+        min(CASE WHEN qualifies THEN rn END) OVER (
+            PARTITION BY conv_id, tool, role, seg_id, island
+        ) AS first_q
+    FROM islands
+),
+mag AS (
+    SELECT *,
+        greatest(old_mean / 1000.0, rec_mean / 1000.0) AS mx,
+        least(old_mean / 1000.0, rec_mean / 1000.0) AS mn
+    FROM winners WHERE qualifies AND rn = first_q
+),
+sev1 AS (
+    SELECT *,
+        CASE WHEN (CASE WHEN (CASE WHEN mn < 0.1 THEN 4.8
+                        ELSE exp(-0.17949 * ln(mn) + 1.13489) END) < 1.1
+             THEN 1.1
+             ELSE (CASE WHEN mn < 0.1 THEN 4.8
+                        ELSE exp(-0.17949 * ln(mn) + 1.13489) END)
+             END - 1.0) * mn = 0 THEN CAST('inf' AS DOUBLE)
+             ELSE 30.0 * ((mx - mn) /
+                 ((CASE WHEN (CASE WHEN mn < 0.1 THEN 4.8
+                       ELSE exp(-0.17949 * ln(mn) + 1.13489) END) < 1.1
+                   THEN 1.1
+                   ELSE (CASE WHEN mn < 0.1 THEN 4.8
+                         ELSE exp(-0.17949 * ln(mn) + 1.13489) END)
+                   END - 1.0) * mn))
+        END AS maybe
+    FROM mag
+)
+SELECT 'distdiff_events' AS event_type, conv_id, tool, role,
+    CAST({sev} AS INTEGER) AS severity,
+    make_timestamp(ts_us) AS ts,
+    CAST(ts_us - t_oldest AS BIGINT) AS detection_latency_us,
+    'Distribution has changed. Mean has ' ||
+        CASE WHEN old_mean < rec_mean THEN 'increased' ELSE 'decreased'
+        END || ' from ' || CAST(old_mean AS VARCHAR) || ' to ' ||
+        CAST(rec_mean AS VARCHAR) AS description
+FROM sev1
+"""
+    return with_transcripts(body).replace(
+        "WITH transcripts", "WITH RECURSIVE transcripts", 1
+    )
