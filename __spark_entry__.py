@@ -667,8 +667,17 @@ def oracle_sql() -> dict[str, str]:
         "threshold_events": oracles.threshold_oracle(100.0),
         "event_groups": oracles.event_groups_oracle(100.0, 10, 7200),
         # chunk_table / sketch_1h: binary sketch/codec blobs — rows-only
-        # frequent_event_filter / remaining detect_*: sequential stateful
-        # kernels (non-SQL-expressible) — rows-only; pinned in tests
+        # remaining detect_* (spike/mode/changepoint) + spike_details:
+        # damped-history / path-dependent state machines — rows-only;
+        # pinned in tests
+        "frequent_event_filter": oracles.frequent_event_filter_oracle(
+            configs=(
+                ("small", 1, 3600, 7200, 25),
+                ("medium", 2, 14400, 28800, 50),
+                ("large", 3, 86400, 86400, 75),
+            ),
+            threshold=100.0,
+        ),
         # loss + baseline folds ARE window-SQL-expressible — full oracles:
         "detect_loss": oracles.loss_events_oracle(
             max_history=30, loss_count=3, consecutive_count=2

@@ -1114,3 +1114,105 @@ FROM sev1
     return with_transcripts(body).replace(
         "WITH transcripts", "WITH RECURSIVE transcripts", 1
     )
+
+
+def frequent_event_filter_oracle(
+    configs: tuple[tuple[str, int, int, int, int], ...],
+    threshold: float = 100.0,
+) -> str:
+    """Multi-config FrequentEventFilter as window SQL (kernel:
+    operators/event_grouping.frequent_event_filter; reference:
+    events/FrequentEventFilter.scala:81-276) over threshold events.
+
+    Per config, "triggered" is state-free (count of prior events within
+    the interval, strict > via integer-µs RANGE frames), and the
+    disable/cooldown latch collapses to a closed form because every
+    triggered point refreshes the disable stamp to its own timestamp:
+    with t* = the latest triggered point strictly before row i,
+    the config is enabled at i's entry iff t* does not exist, or some
+    point sits between t* and i and the latest one (timestamps are
+    monotone) is past the cooldown; the exit state replaces t* with the
+    latest triggered point up to AND including i. Bulk events fire on
+    enabled-and-triggered; a row passes through iff every config is
+    enabled after processing it. Requires a tie-free (series, ts) order
+    (asserted true for the gate data).
+    """
+    w1_cols = []
+    for i, (_n, _c, interval_s, _cd, _sev) in enumerate(configs):
+        iv_us = interval_s * 1_000_000
+        w1_cols.append(
+            f"CAST(coalesce(count(*) OVER (PARTITION BY conv_id, tool, role"
+            f" ORDER BY ts_us RANGE BETWEEN UNBOUNDED PRECEDING AND"
+            f" {iv_us} PRECEDING), 0) AS BIGINT) AS nback_{i}"
+        )
+    w2_cols = [
+        f"(rn - nback_{i}) > {c} AS trig_{i}"
+        for i, (_n, c, _iv, _cd, _sev) in enumerate(configs)
+    ]
+    w3_cols = []
+    for i in range(len(configs)):
+        for frame, tag in (
+            ("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING", "x"),
+            ("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", "i"),
+        ):
+            w3_cols.append(
+                f"max(CASE WHEN trig_{i} THEN rn END) OVER ("
+                f"PARTITION BY conv_id, tool, role ORDER BY rn {frame})"
+                f" AS t{tag}rn_{i}"
+            )
+            w3_cols.append(
+                f"max(CASE WHEN trig_{i} THEN ts_us END) OVER ("
+                f"PARTITION BY conv_id, tool, role ORDER BY rn {frame})"
+                f" AS t{tag}ts_{i}"
+            )
+    w4_cols = []
+    for i, (_n, _c, _iv, cooldown_s, _sev) in enumerate(configs):
+        cd_us = cooldown_s * 1_000_000
+        w4_cols.append(
+            f"(txrn_{i} IS NULL OR (rn - 1 > txrn_{i}"
+            f" AND lag_ts > txts_{i} + {cd_us})) AS entry_ok_{i}"
+        )
+        w4_cols.append(
+            f"(tirn_{i} IS NULL OR (NOT trig_{i}"
+            f" AND tits_{i} < ts_us - {cd_us})) AS after_ok_{i}"
+        )
+    bulks = []
+    for i, (name, c, interval_s, _cd, sev) in enumerate(configs):
+        desc = (
+            "Frequent events of type threshold_events - configuration "
+            f'name "{name} ({c} events in {interval_s} seconds)"'
+        )
+        bulks.append(
+            "SELECT 'bulk_threshold_events' AS event_type, conv_id, tool,"
+            f" role, CAST({sev} AS INTEGER) AS severity,"
+            " make_timestamp(ts_us) AS ts,"
+            f" '{desc}' AS description"
+            f" FROM w4 WHERE entry_ok_{i} AND trig_{i}"
+        )
+    all_after = " AND ".join(f"after_ok_{i}" for i in range(len(configs)))
+    body = f"""
+, ev AS (
+    SELECT conv_id, tool, role, epoch_us(ts) AS ts_us,
+        CAST(100 AS INTEGER) AS severity,
+        row_number() OVER (
+            PARTITION BY conv_id, tool, role ORDER BY epoch_us(ts)
+        ) AS rn
+    FROM transcripts WHERE value > {threshold}
+),
+w1 AS (
+    SELECT *, lag(ts_us) OVER (
+        PARTITION BY conv_id, tool, role ORDER BY rn
+    ) AS lag_ts,
+    {", ".join(w1_cols)}
+    FROM ev
+),
+w2 AS (SELECT *, {", ".join(w2_cols)} FROM w1),
+w3 AS (SELECT *, {", ".join(w3_cols)} FROM w2),
+w4 AS (SELECT *, {", ".join(w4_cols)} FROM w3)
+{" UNION ALL ".join(bulks)}
+UNION ALL
+SELECT 'threshold_events' AS event_type, conv_id, tool, role, severity,
+       make_timestamp(ts_us) AS ts, '' AS description
+FROM w4 WHERE {all_after}
+"""
+    return with_transcripts(body)
