@@ -67,6 +67,37 @@ def _q_chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla+DoD codec round-trip elevated to the driver gate: compress
+    the gap-filled grid into blobs, decode the blobs back, and the result
+    must hash-equal the gap-fill oracle (NaN sentinel → NULL)."""
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.chunks import (
+        chunk_table,
+        decompress_chunks,
+    )
+
+    chunks = chunk_table(
+        load_transcripts(spark, sf_dir), grid_tier="1h", chunk_tier="1d",
+        method="interp", purge_gap_s=7200,
+    )
+    pts = decompress_chunks(
+        chunks.select("conv_id", "tool", "role", "ts_dod", "values_gorilla")
+    )
+    return pts.select(
+        "conv_id",
+        "tool",
+        "role",
+        F.expr(f"timestampadd(MICROSECOND, ts_us, {R.EPOCH_NTZ})").alias(
+            "grid_ts"
+        ),
+        F.when(F.isnan("value"), F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_filled"),
+    )
+
+
 def _q_sketch_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest latency sketches per 1h window — rows-only check;
     quantile accuracy asserted in tests/test_chunks.py."""
@@ -543,6 +574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_interp_1h": _q_gapfill("interp"),
         "gapfill_pandas_interp_1h": _q_gapfill_pandas,
         "chunk_table": _q_chunk_table,
+        # codec round-trip as a hard gate check: encode→decode must equal
+        # the gap-fill oracle bit-for-bit
+        "chunk_roundtrip": _q_chunk_roundtrip,
         "sketch_1h": _q_sketch_1h,
         # events layer (reference detectors + post-processing)
         "threshold_events": _q_threshold,
@@ -662,6 +696,9 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_locf_1h": oracles.gapfill_oracle("1h", "locf", 7200),
         "gapfill_interp_1h": oracles.gapfill_oracle("1h", "interp", 7200),
         "gapfill_pandas_interp_1h": oracles.gapfill_oracle(
+            "1h", "interp", 7200
+        ),
+        "chunk_roundtrip": oracles.chunk_roundtrip_oracle(
             "1h", "interp", 7200
         ),
         "threshold_events": oracles.threshold_oracle(100.0),

@@ -173,6 +173,20 @@ FROM w WHERE is_grid = 1
     return with_transcripts(body)
 
 
+def chunk_roundtrip_oracle(
+    tier: str, method: str, purge_gap_s: int = 600
+) -> str:
+    """Oracle for the Gorilla+DoD chunk round-trip: encode(gap-filled
+    grid) → decode must reproduce the grid bit-exactly, so the oracle is
+    the gap-fill oracle projected to its point columns (NaN sentinel in
+    the blob maps back to NULL)."""
+    inner = gapfill_oracle(tier, method, purge_gap_s)
+    return (
+        "SELECT conv_id, tool, role, grid_ts, value_filled "
+        f"FROM ({inner}) g"
+    )
+
+
 def inter_turn_latency_oracle() -> str:
     body = f"""
 , {_LAT_CTE}
