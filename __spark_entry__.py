@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from streamevmon_spark import docs_oracles, oracles  # noqa: E402
+from streamevmon_spark import docs_oracles, graph_oracles, oracles  # noqa: E402
 from streamevmon_spark.data.transcripts import load_transcripts  # noqa: E402
 from streamevmon_spark.operators import rollup as R  # noqa: E402
 
@@ -504,6 +504,95 @@ def _q_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 1-hour retention against the sf0.01 span makes the prune actually cut
+# the graph (47/75 edges survive), so the largest-component oracle
+# exercises real component competition, not a trivially-whole graph
+GRAPH_PRUNE_NOW = "2024-01-31 00:00:00"
+GRAPH_PRUNE_AGE_S = 3600
+
+
+def _graph_hops(spark: SparkSession, sf_dir: str):
+    from streamevmon_spark.operators import graph as G
+
+    ev = _events(spark, sf_dir)
+    tr = G.synth_traceroutes(ev)
+    meta = G.synth_traceroute_meta(ev)
+    return G.path_hops(G.as_inet_paths(tr, meta)), meta
+
+
+def _stringify_asns(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "valid_asns",
+        F.expr(
+            "array_join(transform(valid_asns, x -> CAST(x AS STRING)), ';')"
+        ),
+    )
+
+
+def _q_graph_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hops, _ = _graph_hops(spark, sf_dir)
+    return hops
+
+
+def _q_graph_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators import graph as G
+
+    hops, _ = _graph_hops(spark, sf_dir)
+    return _stringify_asns(G.topology_vertices(hops))
+
+
+def _q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators import graph as G
+
+    hops, _ = _graph_hops(spark, sf_dir)
+    return G.topology_edges(hops)
+
+
+def _q_graph_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators import graph as G
+
+    hops, _ = _graph_hops(spark, sf_dir)
+    vertices = G.topology_vertices(hops)
+    pruned = G.prune_old_edges(
+        G.topology_edges(hops), GRAPH_PRUNE_NOW, GRAPH_PRUNE_AGE_S
+    )
+    return _stringify_asns(G.largest_component(vertices, pruned))
+
+
+def _q_graph_anon_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators import graph as G
+
+    hops, _ = _graph_hops(spark, sf_dir)
+    return G.parallel_anonymous_merges(hops)
+
+
+def _q_graph_stream_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators import graph as G
+
+    hops, meta = _graph_hops(spark, sf_dir)
+    return G.stream_distances(G.topology_edges(hops), meta, max_depth=10)
+
+
+def _q_graph_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators import graph as G
+
+    hops, _ = _graph_hops(spark, sf_dir)
+    return G.graph_dot(G.topology_vertices(hops), G.topology_edges(hops))
+
+
+def _graph_prune_min_us() -> int:
+    from datetime import datetime, timezone
+
+    cutoff = datetime.fromisoformat(GRAPH_PRUNE_NOW).replace(
+        tzinfo=timezone.utc
+    )
+    return (
+        int(cutoff.timestamp() * 1_000_000) - GRAPH_PRUNE_AGE_S * 1_000_000
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.session import ensure_workers_can_import
 
@@ -660,6 +749,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed training-data pipeline (quality -> dedup -> lang ->
         # embedding attach), oracle-checked end-to-end
         "curate_corpus": _q_curate,
+        # topology-graph family (reference events/grouping/graph/*):
+        # traceroute paths -> vertex/edge relations -> prune + largest
+        # component -> parallel-anonymous merges -> stream distances ->
+        # DOT export, all cross-engine hash-checked
+        "graph_paths": _q_graph_paths,
+        "graph_vertices": _q_graph_vertices,
+        "graph_edges": _q_graph_edges,
+        "graph_largest_component": _q_graph_largest_component,
+        "graph_anon_merges": _q_graph_anon_merges,
+        "graph_stream_distances": _q_graph_stream_distances,
+        "graph_dot": _q_graph_dot,
     }
 
 
@@ -767,4 +867,13 @@ def oracle_sql() -> dict[str, str]:
         # scale-path ANN is oracle-checked end-to-end, not just recall-
         # tested
         "ann_lsh_topk": docs_oracles.lsh_ann_topk_oracle(10, 5),
+        "graph_paths": graph_oracles.paths_oracle(),
+        "graph_vertices": graph_oracles.vertices_oracle(),
+        "graph_edges": graph_oracles.edges_oracle(),
+        "graph_largest_component": graph_oracles.largest_component_oracle(
+            _graph_prune_min_us()
+        ),
+        "graph_anon_merges": graph_oracles.anon_merges_oracle(),
+        "graph_stream_distances": graph_oracles.stream_distances_oracle(10),
+        "graph_dot": graph_oracles.graph_dot_oracle(),
     }
