@@ -575,11 +575,73 @@ def _q_graph_stream_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.stream_distances(G.topology_edges(hops), meta, max_depth=10)
 
 
+def _q_graph_merged_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators import graph as G
+
+    hops, _ = _graph_hops(spark, sf_dir)
+    return G.apply_merges(
+        G.topology_edges(hops), G.parallel_anonymous_merges(hops)
+    )
+
+
+# topological linkage: groups whose streams are within this quirk-metric
+# distance (2 x src-src hops) are linked; 6 keeps direct-backbone
+# neighbours and cuts anon-detour streams, so the filter is selective
+GRAPH_TOPO_MAX_DISTANCE = 6
+
+
+def _q_graph_topo_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.functions.porthash import hex32_sql
+    from streamevmon_spark.operators import graph as G
+    from streamevmon_spark.operators.event_grouping import (
+        group_events_temporal,
+        threshold_events,
+    )
+
+    hops, meta = _graph_hops(spark, sf_dir)
+    dist = G.stream_distances(
+        G.topology_edges(hops), meta, max_depth=10
+    )
+    ev = threshold_events(load_transcripts(spark, sf_dir), threshold=100.0)
+    groups = group_events_temporal(
+        ev, max_interval_s=10, max_duration_s=7200
+    )
+    g2s = groups.select(
+        "group_id",
+        F.expr(
+            f"CAST(({hex32_sql('group_id')}) % {G.N_STREAMS} AS INT)"
+        ).alias("stream"),
+    )
+    links = G.group_events_topological(
+        g2s, dist, max_distance=GRAPH_TOPO_MAX_DISTANCE
+    )
+    # the link relation is quadratic per near-stream pair; the gate
+    # checks its per-group profile (cardinality + nearest distance),
+    # which pins the same join without materializing all pairs
+    return links.groupBy("group_a").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_linked"),
+        F.min("distance").alias("min_distance"),
+    )
+
+
 def _q_graph_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.operators import graph as G
 
     hops, _ = _graph_hops(spark, sf_dir)
     return G.graph_dot(G.topology_vertices(hops), G.topology_edges(hops))
+
+
+def _graph_topo_links_oracle() -> str:
+    from streamevmon_spark.functions.porthash import hex32_sql
+    from streamevmon_spark.operators.graph import N_STREAMS
+
+    groups_sql = oracles.event_groups_oracle(100.0, 10, 7200)
+    stream_expr = f"({hex32_sql('group_id')}) % {N_STREAMS}"
+    return graph_oracles.topo_group_links_oracle(
+        groups_sql, stream_expr, GRAPH_TOPO_MAX_DISTANCE, 10
+    )
 
 
 def _graph_prune_min_us() -> int:
@@ -758,7 +820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edges": _q_graph_edges,
         "graph_largest_component": _q_graph_largest_component,
         "graph_anon_merges": _q_graph_anon_merges,
+        "graph_merged_edges": _q_graph_merged_edges,
         "graph_stream_distances": _q_graph_stream_distances,
+        "graph_topo_links": _q_graph_topo_links,
         "graph_dot": _q_graph_dot,
     }
 
@@ -874,6 +938,8 @@ def oracle_sql() -> dict[str, str]:
             _graph_prune_min_us()
         ),
         "graph_anon_merges": graph_oracles.anon_merges_oracle(),
+        "graph_merged_edges": graph_oracles.merged_edges_oracle(),
         "graph_stream_distances": graph_oracles.stream_distances_oracle(10),
+        "graph_topo_links": _graph_topo_links_oracle(),
         "graph_dot": graph_oracles.graph_dot_oracle(),
     }

@@ -177,41 +177,7 @@ WHERE c.component = (SELECT component FROM winner)
 
 def anon_merges_oracle() -> str:
     return (
-        "WITH RECURSIVE " + _BASE + """
-, shape AS (
-    SELECT DISTINCT stream, path_id, hop_idx, uid,
-           (uid LIKE '(%') AS is_anon
-    FROM hops
-),
-marked AS (
-    SELECT uid, hop_idx, is_anon,
-        last_value(CASE WHEN NOT is_anon THEN uid END IGNORE NULLS)
-            OVER w1 AS prev_uid,
-        last_value(CASE WHEN NOT is_anon THEN hop_idx END IGNORE NULLS)
-            OVER w1 AS prev_idx,
-        first_value(CASE WHEN NOT is_anon THEN uid END IGNORE NULLS)
-            OVER w2 AS next_uid,
-        first_value(CASE WHEN NOT is_anon THEN hop_idx END IGNORE NULLS)
-            OVER w2 AS next_idx
-    FROM shape
-    WINDOW w1 AS (PARTITION BY stream, path_id ORDER BY hop_idx
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-    w2 AS (PARTITION BY stream, path_id ORDER BY hop_idx
-        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-),
-anon_runs AS (
-    SELECT uid, prev_uid, next_uid,
-           next_idx - prev_idx - 1 AS run_len,
-           hop_idx - prev_idx - 1 AS pos_in_run
-    FROM marked
-    WHERE is_anon AND prev_uid IS NOT NULL AND next_uid IS NOT NULL
-),
-grps AS (
-    SELECT prev_uid, next_uid, run_len, pos_in_run,
-           list_sort(list(DISTINCT uid)) AS members
-    FROM anon_runs
-    GROUP BY prev_uid, next_uid, run_len, pos_in_run
-)
+        "WITH RECURSIVE " + _BASE + "," + _MERGE_MAP + """
 SELECT unnest(members) AS uid,
        array_to_string(members, ';') AS merged_uid,
        CAST(len(members) AS INT) AS n_merged
@@ -246,6 +212,130 @@ SELECT a.stream AS stream_a, b.stream AS stream_b,
 FROM meta a
 JOIN meta b ON a.stream < b.stream
 LEFT JOIN bfs d ON d.root = a.source AND d.node = b.source
+"""
+    )
+
+
+_MERGE_MAP = """
+shape AS (
+    SELECT DISTINCT stream, path_id, hop_idx, uid,
+           (uid LIKE '(%') AS is_anon
+    FROM hops
+),
+marked AS (
+    SELECT uid, hop_idx, is_anon,
+        last_value(CASE WHEN NOT is_anon THEN uid END IGNORE NULLS)
+            OVER w1 AS prev_uid,
+        last_value(CASE WHEN NOT is_anon THEN hop_idx END IGNORE NULLS)
+            OVER w1 AS prev_idx,
+        first_value(CASE WHEN NOT is_anon THEN uid END IGNORE NULLS)
+            OVER w2 AS next_uid,
+        first_value(CASE WHEN NOT is_anon THEN hop_idx END IGNORE NULLS)
+            OVER w2 AS next_idx
+    FROM shape
+    WINDOW w1 AS (PARTITION BY stream, path_id ORDER BY hop_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w2 AS (PARTITION BY stream, path_id ORDER BY hop_idx
+        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+anon_runs AS (
+    SELECT uid, prev_uid, next_uid,
+           next_idx - prev_idx - 1 AS run_len,
+           hop_idx - prev_idx - 1 AS pos_in_run
+    FROM marked
+    WHERE is_anon AND prev_uid IS NOT NULL AND next_uid IS NOT NULL
+),
+grps AS (
+    SELECT prev_uid, next_uid, run_len, pos_in_run,
+           list_sort(list(DISTINCT uid)) AS members
+    FROM anon_runs
+    GROUP BY prev_uid, next_uid, run_len, pos_in_run
+),
+merge_map AS (
+    SELECT unnest(members) AS uid,
+           array_to_string(members, ';') AS merged_uid
+    FROM grps WHERE len(members) > 1
+)
+"""
+
+
+def merged_edges_oracle() -> str:
+    """Mirror of graph.apply_merges(topology_edges, anonymous merges):
+    endpoints relabel to their merged uid, self-loops drop, duplicate
+    edges keep the newest lastSeen and sum n_seen."""
+    return (
+        "WITH RECURSIVE " + _BASE + "," + _EDGES + "," + _MERGE_MAP + """
+, relabeled AS (
+    SELECT coalesce(ms.merged_uid, e.src_uid) AS src_uid,
+           coalesce(md.merged_uid, e.dst_uid) AS dst_uid,
+           e.last_seen, e.n_seen
+    FROM edges e
+    LEFT JOIN merge_map ms ON ms.uid = e.src_uid
+    LEFT JOIN merge_map md ON md.uid = e.dst_uid
+)
+SELECT src_uid, dst_uid, max(last_seen) AS last_seen,
+       CAST(sum(n_seen) AS BIGINT) AS n_seen
+FROM relabeled
+WHERE src_uid != dst_uid
+GROUP BY src_uid, dst_uid
+"""
+    )
+
+
+def topo_group_links_oracle(
+    groups_sql: str, stream_expr: str, max_distance: int, max_depth: int
+) -> str:
+    """Topological event-group linkage: event groups (``groups_sql``
+    must yield a group_id column) are assigned to topology streams via
+    the portable ``stream_expr`` and every ordered pair of distinct
+    groups whose streams lie within ``max_distance`` (reference-quirk
+    stream distance, see stream_distances_oracle) is linked."""
+    return (
+        "WITH RECURSIVE " + _BASE + "," + _EDGES + f"""
+, sym AS (
+    SELECT src_uid AS a, dst_uid AS b FROM edges
+    UNION
+    SELECT dst_uid, src_uid FROM edges
+),
+seeds AS (SELECT DISTINCT source AS root FROM meta),
+walk AS (
+    SELECT root, root AS node, 0 AS dist FROM seeds
+    UNION
+    SELECT w.root, s.b, w.dist + 1 FROM walk w JOIN sym s
+        ON w.node = s.a WHERE w.dist < {max_depth}
+),
+bfs AS (SELECT root, node, min(dist) AS dist FROM walk
+        GROUP BY root, node),
+dists AS (
+    SELECT a.stream AS stream_a, b.stream AS stream_b,
+           CAST(d.dist + d.dist AS INT) AS distance
+    FROM meta a
+    JOIN meta b ON a.stream < b.stream
+    LEFT JOIN bfs d ON d.root = a.source AND d.node = b.source
+),
+near AS (
+    SELECT * FROM dists
+    WHERE distance IS NOT NULL AND distance <= {max_distance}
+),
+nearsym AS (
+    SELECT stream_a, stream_b, distance FROM near
+    UNION ALL
+    SELECT stream_b, stream_a, distance FROM near
+),
+egroups AS (
+    SELECT group_id, CAST({stream_expr} AS INT) AS stream
+    FROM ({groups_sql}) eg
+),
+links AS (
+    SELECT a.group_id AS group_a, b.group_id AS group_b, n.distance
+    FROM egroups a
+    JOIN nearsym n ON n.stream_a = a.stream
+    JOIN egroups b ON b.stream = n.stream_b
+    WHERE a.group_id != b.group_id
+)
+SELECT group_a, CAST(count(*) AS BIGINT) AS n_linked,
+       min(distance) AS min_distance
+FROM links GROUP BY group_a
 """
     )
 
