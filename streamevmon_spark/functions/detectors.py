@@ -860,16 +860,26 @@ def spike_details(
     record per processed non-lossy row with the signal decision and the
     smoothing state (mean/std of the lag window) it was taken against.
     Same state machine as spike_events — indices with signal != 0 are
-    exactly the emitted events (asserted in tests)."""
+    exactly the emitted events (asserted in tests).
+
+    Returns a dict of parallel numpy arrays (idx, ts_us, value, signal,
+    mean, std) — one detail record per kept point. Columnar because this
+    output is per-POINT, not per-event: a dict per row dominated the
+    runtime of the detail stream at bench scale."""
     v = np.asarray(values, dtype=np.float64)
     t = np.asarray(ts_us, dtype=np.int64)
     purge_us = purge_s * 1_000_000
-    details: list[dict] = []
+    n = v.size
+    o_idx = np.empty(n, dtype=np.int64)
+    o_signal = np.empty(n, dtype=np.int64)
+    o_mean = np.empty(n, dtype=np.float64)
+    o_std = np.empty(n, dtype=np.float64)
+    k = 0
     last_obs: int | None = None
     hist = _RollingMeanStd()
     last_mean = math.nan
     last_std = math.nan
-    for i in range(v.size):
+    for i in range(n):
         x, ti = float(v[i]), int(t[i])
         if last_obs is None or ti - last_obs > purge_us:
             last_obs = ti
@@ -887,18 +897,21 @@ def spike_details(
             signal = 1 if x > last_mean else -1
         else:
             hist.push(x, lag)
-        details.append(
-            {
-                "idx": i,
-                "ts_us": ti,
-                "value": x,
-                "signal": signal,
-                "mean": last_mean,
-                "std": last_std,
-            }
-        )
+        o_idx[k] = i
+        o_signal[k] = signal
+        o_mean[k] = last_mean
+        o_std[k] = last_std
+        k += 1
         last_mean, last_std = hist.mean_std()
-    return details
+    kept = o_idx[:k]
+    return {
+        "idx": kept,
+        "ts_us": t[kept],
+        "value": v[kept],
+        "signal": o_signal[:k],
+        "mean": o_mean[:k],
+        "std": o_std[:k],
+    }
 
 
 def windowed_distdiff_events(

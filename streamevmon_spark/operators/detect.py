@@ -186,33 +186,41 @@ def spike_detail_stream(df: DataFrame, **params) -> DataFrame:
         ends = np.concatenate([starts[1:], [len(pdf)]])
         ts = pdf["__ts_us"].to_numpy(np.int64)
         vals = pdf["value"].to_numpy(np.float64)
-        rows: list[dict] = []
+        # columnar assembly: one kernel dict-of-arrays per group,
+        # key columns repeated per group — no per-row Python objects
+        parts: list[dict] = []
+        group_rows: list[int] = []
+        group_idx: list[int] = []
         for s, e in zip(starts, ends):
-            head = pdf.iloc[s]
-            for d in spike_details(vals[s:e], ts[s:e], **params):
-                rows.append(
-                    {
-                        "conv_id": head["conv_id"],
-                        "tool": head["tool"],
-                        "role": head["role"],
-                        "ts_us": d["ts_us"],
-                        "value": d["value"],
-                        "signal": d["signal"],
-                        "mean": d["mean"],
-                        "std": d["std"],
-                    }
-                )
+            d = spike_details(vals[s:e], ts[s:e], **params)
+            parts.append(d)
+            group_rows.append(len(d["ts_us"]))
+            group_idx.append(s)
+        reps = np.asarray(group_rows, dtype=np.int64)
+        heads = pdf.iloc[group_idx]
+
+        def col(name: str) -> np.ndarray:
+            return np.concatenate(
+                [p[name] for p in parts]
+            ) if parts else np.empty(0)
+
         out = pd.DataFrame(
-            rows,
-            columns=["conv_id", "tool", "role", "ts_us", "value", "signal",
-                     "mean", "std"],
+            {
+                "conv_id": np.repeat(
+                    heads["conv_id"].to_numpy(object), reps
+                ),
+                "tool": np.repeat(heads["tool"].to_numpy(object), reps),
+                "role": np.repeat(heads["role"].to_numpy(object), reps),
+                "ts": pd.to_datetime(
+                    col("ts_us").astype("int64"), unit="us"
+                ),
+                "value": col("value"),
+                "signal": col("signal").astype("int32"),
+                "mean": col("mean"),
+                "std": col("std"),
+            }
         )
-        out["ts"] = pd.to_datetime(out["ts_us"].astype("int64"), unit="us")
-        out["signal"] = out["signal"].astype("int32")
-        return out[
-            ["conv_id", "tool", "role", "ts", "value", "signal", "mean",
-             "std"]
-        ]
+        return out
 
     prepped = df.select(
         *SERIES_KEY,

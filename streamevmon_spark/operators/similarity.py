@@ -228,7 +228,9 @@ def embedding_neardup_lsh(
         F.explode(
             F.array(*_bucket_exprs(n_tables, bits_per_table, dim, seed))
         ).alias("bucket"),
-    )
+    ).localCheckpoint()  # 72 hyperplane dot products per vector — both
+    # sides of the self-join (probe + broadcast build) would otherwise
+    # recompute them; the materialized relation is n_tables rows/vector
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

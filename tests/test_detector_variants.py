@@ -46,12 +46,12 @@ def test_spike_details_signals_match_spike_events():
     ts = _ts(200)
     kw = dict(lag=20, threshold=5.0, influence=0.05, purge_s=3600)
     events = spike_events(vals, ts, **kw)
-    details = spike_details(vals, ts, **kw)
-    signal_idx = sorted(d["idx"] for d in details if d["signal"] != 0)
+    details = spike_details(vals, ts, **kw)  # dict of parallel arrays
+    signal_idx = sorted(details["idx"][details["signal"] != 0].tolist())
     assert signal_idx == sorted(e["idx"] for e in events)
     assert 120 in signal_idx
     # details carry the smoothing state the decision was taken against
-    d120 = next(d for d in details if d["idx"] == 120)
-    assert abs(d120["value"] - 200.0) < 1e-9
-    assert abs(d120["mean"] - 100.0) < 2.0
-    assert d120["signal"] == 1
+    (pos,) = np.nonzero(details["idx"] == 120)[0]
+    assert abs(details["value"][pos] - 200.0) < 1e-9
+    assert abs(details["mean"][pos] - 100.0) < 2.0
+    assert details["signal"][pos] == 1
