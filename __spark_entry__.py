@@ -886,6 +886,10 @@ def oracle_sql() -> dict[str, str]:
         "detect_baseline": oracles.baseline_events_oracle(
             max_history=5, percentile=0.1, threshold=10, purge_s=86400
         ),
+        "detect_mode": oracles.mode_events_oracle(
+            max_history=5, min_frequency=1, min_prominence=0,
+            threshold=0.1, purge_s=86400,
+        ),
         "detect_distdiff": oracles.distdiff_events_oracle(
             recents_count=4, drop_extreme_n=0, z_threshold=0.5,
             minimum_change=1.05, purge_s=86400,

@@ -1230,3 +1230,190 @@ SELECT 'threshold_events' AS event_type, conv_id, tool, role, severity,
 FROM w4 WHERE {all_after}
 """
     return with_transcripts(body)
+
+
+def mode_events_oracle(
+    max_history: int = 30,
+    min_frequency: int = 6,
+    min_prominence: int = 3,
+    threshold: float = 7.5,
+    purge_s: int = 60,
+) -> str:
+    """Keyed ModeDetector as SQL (kernel functions/detectors.mode_events;
+    reference detectors/mode/ModeDetector.scala:54-448).
+
+    The only sequential state is ``last_event_val``, and every branch
+    past the frequency/prominence gates assigns it ``primary_val`` — so
+    it collapses to a closed form: L(i) = primary mode at the previous
+    *qualifying* point (window full, frequency >= min_frequency,
+    prominence >= min_prominence) of the same purge segment. Emission at
+    a qualifying point then needs only per-row window state:
+
+    - 2-sig-fig FLOOR bucketing of trunc-toward-zero ints
+      (ModeDetector.scala:157-166);
+    - top-2 (count, value)-lexicographic modes over the last
+      ``max_history`` non-lossy values (secondary count = -2 when the
+      window has a single distinct value);
+    - the reference's threshold quirks: L<=0 gives a NaN threshold
+      (gate passes), L=1 gives +inf (gate always blocks);
+    - severity via magnitude-aligned truncation feeding the
+      events/Event.scala:144-201 log-curve.
+
+    Purge semantics: the first row of a series and any row arriving more
+    than ``purge_s`` after its predecessor reset all state and are
+    themselves consumed (never enter the window).
+    """
+    mh = max_history
+    purge_us = purge_s * 1_000_000
+    gap = (
+        f"lag(ts_us) OVER sw IS NULL OR ts_us - lag(ts_us) OVER sw > {purge_us}"
+        if purge_s > 0
+        else "lag(ts_us) OVER sw IS NULL"
+    )
+    # d = decimal digit count of the truncated int; 2-sig-fig FLOOR
+    digits = "(1 + CAST(floor(log10(abs(CAST(iv AS DOUBLE)))) AS INT))"
+    scaled = f"""
+        CASE WHEN iv = 0 THEN 0
+             WHEN {digits} <= 2 THEN iv
+             ELSE CAST(floor(CAST(iv AS DOUBLE)
+                             / trunc(pow(10, {digits} - 2))) AS BIGINT)
+                  * CAST(trunc(pow(10, {digits} - 2)) AS BIGINT)
+        END"""
+    body = f"""
+, base AS (
+    SELECT conv_id, tool, role, ts, turn_idx, value,
+        (value IS NULL) AS lossy,
+        epoch_us(ts) AS ts_us,
+        row_number() OVER (
+            PARTITION BY conv_id, tool, role ORDER BY ts, turn_idx
+        ) AS rn
+    FROM transcripts
+),
+rst AS (
+    SELECT *, CASE WHEN {gap} THEN rn END AS r0
+    FROM base
+    WINDOW sw AS (PARTITION BY conv_id, tool, role ORDER BY rn)
+),
+seg AS (
+    SELECT *,
+        max(r0) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS seg_id
+    FROM rst
+),
+hrows AS (
+    SELECT conv_id, tool, role, ts, ts_us, rn, seg_id, {scaled} AS s
+    FROM (
+        SELECT *, CAST(trunc(value) AS BIGINT) AS iv
+        FROM seg WHERE NOT lossy AND r0 IS NULL
+    )
+),
+win AS (
+    SELECT *,
+        row_number() OVER (
+            PARTITION BY conv_id, tool, role, seg_id ORDER BY rn
+        ) AS pos,
+        list(s) OVER (
+            PARTITION BY conv_id, tool, role, seg_id ORDER BY rn
+            ROWS BETWEEN {mh - 1} PRECEDING AND CURRENT ROW
+        ) AS hist
+    FROM hrows
+),
+top2 AS (
+    SELECT *,
+        list_reverse_sort(list_transform(
+            list_distinct(hist),
+            v -> {{'c': len(list_filter(hist, x -> x = v)), 'v': v}}
+        )) AS cand
+    FROM win WHERE pos >= {mh}
+),
+qpts AS (
+    SELECT conv_id, tool, role, ts, ts_us, rn, seg_id, hist,
+        cand[1]['v'] AS primary_val,
+        cand[1]['c'] AS primary_cnt,
+        CASE WHEN len(cand) >= 2 THEN cand[2]['c'] ELSE -2 END AS secondary_cnt
+    FROM top2
+    WHERE cand[1]['c'] >= {min_frequency}
+      AND cand[1]['c']
+          - (CASE WHEN len(cand) >= 2 THEN cand[2]['c'] ELSE -2 END)
+          >= {min_prominence}
+),
+lagd AS (
+    SELECT *,
+        lag(primary_val) OVER (
+            PARTITION BY conv_id, tool, role, seg_id ORDER BY rn
+        ) AS l_prev
+    FROM qpts
+),
+gated AS (
+    SELECT *, CAST(l_prev AS DOUBLE) AS lev
+    FROM lagd
+    WHERE l_prev IS NOT NULL AND l_prev <> -5 AND primary_val <> l_prev
+      AND len(list_filter(hist, x -> x = l_prev)) > 0
+),
+thr AS (
+    SELECT *,
+        CASE WHEN lev > 0 THEN
+            CASE WHEN ln(lev) = 0 THEN CAST('infinity' AS DOUBLE)
+                 ELSE lev / ln(lev) END
+        END AS calc
+    FROM gated
+),
+emit AS (
+    SELECT * FROM thr
+    WHERE NOT coalesce(
+        abs(CAST(l_prev - primary_val AS DOUBLE)) <
+            (CASE WHEN calc IS NULL THEN CAST(NULL AS DOUBLE)
+                  WHEN calc < {threshold} THEN {threshold}
+                  ELSE calc END),
+        FALSE)
+),
+mags AS (
+    SELECT *,
+        CASE WHEN l_prev = 0 THEN 0
+             ELSE 1 + CAST(floor(log10(abs(CAST(l_prev AS DOUBLE)))) AS INT)
+        END AS om,
+        CASE WHEN primary_val = 0 THEN 0
+             ELSE 1 + CAST(floor(log10(abs(CAST(primary_val AS DOUBLE)))) AS INT)
+        END AS cm
+    FROM emit
+),
+aligned AS (
+    SELECT *,
+        trunc(CAST(l_prev AS DOUBLE) / q) AS a,
+        trunc(CAST(primary_val AS DOUBLE) / q) AS b
+    FROM (
+        SELECT *, CAST(trunc(pow(10,
+            (CASE WHEN om = cm THEN om - 1
+                  ELSE greatest(least(om, cm), 1) END) - 1)) AS BIGINT) AS q
+        FROM mags
+    )
+),
+curved AS (
+    SELECT *,
+        CASE WHEN (basemag - 1.0) * mn = 0 THEN CAST('infinity' AS DOUBLE)
+             ELSE 30.0 * ((mx - mn) / ((basemag - 1.0) * mn))
+        END AS maybe
+    FROM (
+        SELECT *,
+            greatest(
+                CASE WHEN mn < 0.1 THEN 4.8
+                     ELSE exp(-0.17949 * ln(mn) + 1.13489) END,
+                1.1) AS basemag
+        FROM (
+            SELECT *, greatest(a, b) AS mx, least(a, b) AS mn FROM aligned
+        )
+    )
+)
+SELECT 'mode_events' AS event_type, conv_id, tool, role,
+    CAST(CASE WHEN maybe < 1 THEN 1
+              WHEN maybe > 100 THEN 100
+              ELSE trunc(maybe) END AS INTEGER) AS severity,
+    ts,
+    CAST(0 AS BIGINT) AS detection_latency_us,
+    'Mode changed from ' || l_prev || ' to ' || primary_val || '!'
+        AS description
+FROM curved
+"""
+    return with_transcripts(body)

@@ -233,3 +233,21 @@ def test_detect_operator_runs_and_is_partition_invariant(spark):
     )
     assert len(ev1) > 0
     assert ev1.equals(ev2), "detector output must not depend on partitioning"
+
+
+def test_mode_oracle_matches_spark(spark, sf_dir):
+    """The mode detector's closed-form SQL oracle (hysteresis = primary
+    mode at the previous qualifying point) matches the sequential kernel
+    on real data, event-for-event."""
+    from streamevmon_spark import oracles
+    from streamevmon_spark.data.transcripts import load_transcripts
+    from streamevmon_spark.operators.detect import detect
+
+    from .oracle_utils import assert_matches_oracle
+
+    kw = dict(
+        max_history=5, min_frequency=1, min_prominence=0,
+        threshold=0.1, purge_s=86400,
+    )
+    got = detect(load_transcripts(spark, sf_dir), "mode", **kw)
+    assert_matches_oracle(got, oracles.mode_events_oracle(**kw), sf_dir)
