@@ -886,6 +886,12 @@ def oracle_sql() -> dict[str, str]:
         "detect_baseline": oracles.baseline_events_oracle(
             max_history=5, percentile=0.1, threshold=10, purge_s=86400
         ),
+        "detect_spike": oracles.spike_events_oracle(
+            lag=5, threshold=2.0, influence=0.1, purge_s=86400
+        ),
+        "spike_details": oracles.spike_details_oracle(
+            lag=5, threshold=2.0, influence=0.1, purge_s=86400
+        ),
         "detect_mode": oracles.mode_events_oracle(
             max_history=5, min_frequency=1, min_prominence=0,
             threshold=0.1, purge_s=86400,

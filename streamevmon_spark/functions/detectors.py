@@ -47,8 +47,10 @@ import numpy as np
 class _RollingMeanStd:
     """O(1)-amortized rolling population mean/std over a bounded window.
 
-    Running sum / sum-of-squares, exactly refreshed with math.fsum every
-    128 updates to keep float drift ~1e-13 relative. The reference
+    Running sum / sum-of-squares, refreshed by an exact left-fold
+    recomputation every 128 updates to keep float drift ~1e-13 relative
+    (left fold, not fsum, so the DuckDB oracle can replay the identical
+    IEEE operation sequence). The reference
     recomputes mean/std from the whole queue per point
     (SmoothedZScore.scala:104-106) — an O(lag) JVM fold whose rounding
     already differed from the previous np.mean implementation here, so
@@ -81,8 +83,18 @@ class _RollingMeanStd:
         self.ops += 1
         if self.ops >= 128:
             self.ops = 0
-            self.s1 = math.fsum(self.q)
-            self.s2 = math.fsum(v * v for v in self.q)
+            # left-fold recomputation (not fsum): the drift bound is the
+            # same O(window * eps), and a left fold is the one summation
+            # order every engine can reproduce exactly — the DuckDB
+            # oracle replays this refresh with list_reduce(+) so the
+            # emitted mean/std floats stay bit-identical cross-engine
+            s1 = 0.0
+            s2 = 0.0
+            for v in self.q:
+                s1 += v
+                s2 += v * v
+            self.s1 = s1
+            self.s2 = s2
 
     def mean_std(self) -> tuple[float, float]:
         n = len(self.q)

@@ -1417,3 +1417,195 @@ SELECT 'mode_events' AS event_type, conv_id, tool, role,
 FROM curved
 """
     return with_transcripts(body)
+
+
+def _spike_walk_cte(
+    lag: int, threshold: float, influence: float, purge_s: int
+) -> str:
+    """Recursive-CTE replay of the SpikeDetector state machine (kernel
+    functions/detectors.spike_events / spike_details; reference
+    detectors/spike/SpikeDetector.scala:113-190 + SmoothedZScore.scala).
+
+    Unlike the other detector oracles, the smoothed z-score is a true
+    recurrence — signalled points are written back damped, so every
+    filtered value depends on all previous signal decisions. The CTE
+    advances every series one point per iteration, carrying exactly the
+    kernel's state: the damped window, the running sum / sum-of-squares
+    updated in the same IEEE operation order (push, evict, and the exact
+    left-fold refresh every 128 ops), and the pre-push mean/std each
+    decision and detail record is taken against. Because every float op
+    is replayed in kernel order, the emitted mean/std are bit-identical,
+    not merely decision-equal.
+    """
+    purge_us = purge_s * 1_000_000
+    inf_r = repr(float(influence))
+    one_minus = repr(1.0 - float(influence))
+    return f"""
+, pts AS (
+    SELECT conv_id, tool, role, ts, epoch_us(ts) AS ts_us,
+        CAST(value AS DOUBLE) AS value,
+        row_number() OVER (
+            PARTITION BY conv_id, tool, role ORDER BY ts, turn_idx
+        ) AS pos
+    FROM transcripts
+),
+walk AS (
+    SELECT conv_id, tool, role, CAST(0 AS BIGINT) AS pos,
+        CAST(NULL AS BIGINT) AS last_obs,
+        CAST(NULL AS DOUBLE) AS last_val,
+        CAST([] AS DOUBLE[]) AS hist,
+        CAST(0.0 AS DOUBLE) AS s1, CAST(0.0 AS DOUBLE) AS s2,
+        CAST(0 AS INTEGER) AS ops,
+        CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std,
+        CAST(NULL AS TIMESTAMP) AS p_ts, CAST(NULL AS DOUBLE) AS x,
+        CAST(0 AS INTEGER) AS sig, FALSE AS kept,
+        CAST(NULL AS DOUBLE) AS pmean, CAST(NULL AS DOUBLE) AS pstd,
+        CAST(NULL AS DOUBLE) AS pval
+    FROM (SELECT DISTINCT conv_id, tool, role FROM pts)
+    UNION ALL
+    SELECT conv_id, tool, role, pos, tus AS last_obs,
+        CASE WHEN is_reset THEN x
+             WHEN skip THEN w_last_val ELSE x END AS last_val,
+        CASE WHEN is_reset THEN CAST([] AS DOUBLE[])
+             WHEN skip THEN w_hist ELSE h3 END AS hist,
+        CASE WHEN is_reset THEN 0.0 WHEN skip THEN w_s1
+             WHEN refresh THEN list_reduce(h3, (a, b) -> a + b)
+             ELSE s1b END AS s1,
+        CASE WHEN is_reset THEN 0.0 WHEN skip THEN w_s2
+             WHEN refresh THEN list_reduce(
+                 list_transform(h3, h -> h * h), (a, b) -> a + b)
+             ELSE s2b END AS s2,
+        CASE WHEN is_reset THEN 0 WHEN skip THEN w_ops
+             WHEN refresh THEN 0 ELSE w_ops + 1 END AS ops,
+        CASE WHEN is_reset THEN CAST(NULL AS DOUBLE) WHEN skip THEN w_mean
+             ELSE (CASE WHEN refresh
+                        THEN list_reduce(h3, (a, b) -> a + b)
+                        ELSE s1b END) / len(h3) END AS mean,
+        CASE WHEN is_reset THEN CAST(NULL AS DOUBLE) WHEN skip THEN w_std
+             ELSE sqrt(greatest(
+                 (CASE WHEN refresh THEN list_reduce(
+                          list_transform(h3, h -> h * h), (a, b) -> a + b)
+                       ELSE s2b END) / len(h3)
+                 - ((CASE WHEN refresh
+                          THEN list_reduce(h3, (a, b) -> a + b)
+                          ELSE s1b END) / len(h3))
+                   * ((CASE WHEN refresh
+                            THEN list_reduce(h3, (a, b) -> a + b)
+                            ELSE s1b END) / len(h3)),
+                 0.0)) END AS std,
+        p_ts, x,
+        CASE WHEN is_reset OR skip THEN 0 ELSE sig END AS sig,
+        (NOT is_reset AND NOT skip) AS kept,
+        w_mean AS pmean, w_std AS pstd, w_last_val AS pval
+    FROM (
+        SELECT *,
+            list_append(w_hist, pushed) AS h2,
+            w_s1 + pushed AS s1a,
+            w_s2 + pushed * pushed AS s2a,
+            (w_ops + 1 >= 128) AS refresh
+        FROM (
+            SELECT *,
+                CASE WHEN sig <> 0
+                     THEN {inf_r} * x + {one_minus} * w_hist[len(w_hist)]
+                     ELSE x END AS pushed
+            FROM (
+                SELECT p.conv_id, p.tool, p.role, p.pos, p.ts AS p_ts,
+                    p.ts_us AS tus, p.value AS x,
+                    w.last_obs AS w_last_obs, w.last_val AS w_last_val,
+                    w.hist AS w_hist, w.s1 AS w_s1, w.s2 AS w_s2,
+                    w.ops AS w_ops, w.mean AS w_mean, w.std AS w_std,
+                    (w.last_obs IS NULL
+                     OR p.ts_us - w.last_obs > {purge_us}) AS is_reset,
+                    (NOT (w.last_obs IS NULL
+                          OR p.ts_us - w.last_obs > {purge_us})
+                     AND p.value IS NULL) AS skip,
+                    CASE WHEN len(w.hist) >= {lag}
+                              AND coalesce(
+                                  abs(p.value - w.mean)
+                                  > {threshold!r} * w.std, FALSE)
+                         THEN CASE WHEN p.value > w.mean THEN 1 ELSE -1 END
+                         ELSE 0 END AS sig
+                FROM walk w
+                JOIN pts p
+                  ON p.conv_id = w.conv_id AND p.tool = w.tool
+                 AND p.role = w.role AND p.pos = w.pos + 1
+            )
+        )
+    ) stepped
+    CROSS JOIN LATERAL (
+        SELECT CASE WHEN len(h2) > {lag}
+                    THEN list_slice(h2, 2, len(h2)) ELSE h2 END AS h3,
+               CASE WHEN len(h2) > {lag} THEN s1a - h2[1] ELSE s1a END AS s1b,
+               CASE WHEN len(h2) > {lag} THEN s2a - h2[1] * h2[1]
+                    ELSE s2a END AS s2b
+    ) ev
+)"""
+
+
+_SEVERITY_SQL = """
+    CAST(CASE WHEN maybe < 1 THEN 1
+              WHEN maybe > 100 THEN 100
+              ELSE trunc(maybe) END AS INTEGER)"""
+
+
+def spike_events_oracle(
+    lag: int = 50,
+    threshold: float = 50.0,
+    influence: float = 0.01,
+    purge_s: int = 60,
+) -> str:
+    """SpikeDetector events via the recursive spike walk; severity is the
+    events/Event.scala:144-201 log-curve over (previous non-lossy value,
+    spiking value) — both raw inputs, so it is exact by construction."""
+    walk = _spike_walk_cte(lag, threshold, influence, purge_s)
+    body = f"""{walk}
+, hits AS (
+    SELECT conv_id, tool, role, p_ts, sig,
+        least(pval, x) AS mn, greatest(pval, x) AS mx
+    FROM walk WHERE sig <> 0
+),
+curved AS (
+    SELECT *,
+        CASE WHEN (basemag - 1.0) * mn = 0 THEN CAST('infinity' AS DOUBLE)
+             ELSE 30.0 * ((mx - mn) / ((basemag - 1.0) * mn))
+        END AS maybe
+    FROM (
+        SELECT *,
+            greatest(
+                CASE WHEN mn < 0.1 THEN 4.8
+                     ELSE exp(-0.17949 * ln(mn) + 1.13489) END,
+                1.1) AS basemag
+        FROM hits
+    )
+)
+SELECT 'spike_events' AS event_type, conv_id, tool, role,
+    {_SEVERITY_SQL} AS severity,
+    p_ts AS ts,
+    CAST(0 AS BIGINT) AS detection_latency_us,
+    CASE WHEN sig > 0 THEN 'Positive' ELSE 'Negative' END AS description
+FROM curved
+"""
+    return with_transcripts(body).replace(
+        "WITH transcripts", "WITH RECURSIVE transcripts", 1
+    )
+
+
+def spike_details_oracle(
+    lag: int = 50,
+    threshold: float = 50.0,
+    influence: float = 0.01,
+    purge_s: int = 60,
+) -> str:
+    """SpikeDetector's per-point detail side-output via the recursive
+    spike walk: one row per processed non-lossy point with the signal and
+    the pre-push mean/std, bit-identical to the kernel because the walk
+    replays its float ops in order."""
+    walk = _spike_walk_cte(lag, threshold, influence, purge_s)
+    body = f"""{walk}
+SELECT conv_id, tool, role, p_ts AS ts, x AS value,
+    CAST(sig AS INTEGER) AS signal, pmean AS mean, pstd AS std
+FROM walk WHERE kept
+"""
+    return with_transcripts(body).replace(
+        "WITH transcripts", "WITH RECURSIVE transcripts", 1
+    )

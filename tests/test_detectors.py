@@ -251,3 +251,25 @@ def test_mode_oracle_matches_spark(spark, sf_dir):
     )
     got = detect(load_transcripts(spark, sf_dir), "mode", **kw)
     assert_matches_oracle(got, oracles.mode_events_oracle(**kw), sf_dir)
+
+
+def test_spike_oracles_match_spark_bit_exact(spark, sf_dir):
+    """The recursive-CTE spike walk replays the kernel's float ops in
+    order, so events AND the per-point detail stream (mean/std floats
+    included) are bit-identical, not merely decision-equal."""
+    from streamevmon_spark import oracles
+    from streamevmon_spark.data.transcripts import load_transcripts
+    from streamevmon_spark.operators.detect import detect, spike_detail_stream
+
+    from .oracle_utils import assert_matches_oracle
+
+    kw = dict(lag=5, threshold=2.0, influence=0.1, purge_s=86400)
+    tx = load_transcripts(spark, sf_dir)
+    assert_matches_oracle(
+        detect(tx, "spike", **kw), oracles.spike_events_oracle(**kw), sf_dir
+    )
+    assert_matches_oracle(
+        spike_detail_stream(tx, **kw),
+        oracles.spike_details_oracle(**kw),
+        sf_dir,
+    )
