@@ -868,9 +868,17 @@ def oracle_sql() -> dict[str, str]:
         "threshold_events": oracles.threshold_oracle(100.0),
         "event_groups": oracles.event_groups_oracle(100.0, 10, 7200),
         # chunk_table / sketch_1h: binary sketch/codec blobs — rows-only
-        # remaining detect_* (spike/mode/changepoint) + spike_details:
-        # damped-history / path-dependent state machines — rows-only;
-        # pinned in tests
+        # (their hash-checked twins are chunk_roundtrip / the exact
+        # rollup oracles); every detector below has a recursive-CTE
+        # oracle replaying the kernel's float ops bit-exactly
+        "detect_changepoint": oracles.changepoint_events_oracle(
+            max_history=8, trigger_count=2, minimum_event_interval_s=0,
+            severity_threshold=20, purge_s=86400,
+            value_expr=(
+                "(CASE WHEN turn_idx < 8 THEN 10000.0 + value"
+                " ELSE 40000.0 + value END)"
+            ),
+        ),
         "frequent_event_filter": oracles.frequent_event_filter_oracle(
             configs=(
                 ("small", 1, 3600, 7200, 25),

@@ -1609,3 +1609,364 @@ FROM walk WHERE kept
     return with_transcripts(body).replace(
         "WITH transcripts", "WITH RECURSIVE transcripts", 1
     )
+
+
+def _np_sum(lst: str) -> str:
+    """NumPy pairwise-sum replica for lists of length <= 8: a plain
+    left fold below 8 elements, and at exactly 8 the pairwise base case
+    ((a1+a2)+(a3+a4))+((a5+a6)+(a7+a8)). The changepoint oracle guards
+    max_history <= 8 so these are the only two shapes np.sum takes."""
+    tree = (
+        f"((({lst}[1]+{lst}[2])+({lst}[3]+{lst}[4]))"
+        f"+(({lst}[5]+{lst}[6])+({lst}[7]+{lst}[8])))"
+    )
+    return (
+        f"(CASE WHEN len({lst}) = 0 THEN 0.0 "
+        f"WHEN len({lst}) < 8 THEN list_reduce({lst}, (a, b) -> a + b) "
+        f"ELSE {tree} END)"
+    )
+
+
+def _np_argmax0(lst: str) -> str:
+    """np.argmax (first max, 0-based) over a DuckDB list; assumes the
+    list is non-empty."""
+    return f"(list_position({lst}, list_aggregate({lst}, 'max')) - 1)"
+
+
+def _cp_fargmax(lst: str) -> str:
+    """ChangepointLogic's filtered argmax: argmax over all but the last
+    (oldest) run; 0 for a single-element list."""
+    head = f"list_slice({lst}, 1, len({lst}) - 1)"
+    return (
+        f"(CASE WHEN len({lst}) > 1 THEN {_np_argmax0(head)} ELSE 0 END)"
+    )
+
+
+def _cp_update_levels(
+    pfx: str, m: str, v: str, n: str, pr: str, st: str, mh: int
+) -> list[str]:
+    """SQL levels for one ChangepointProcessor runs_update(y, tus)
+    application to run-state lists (m, v, n, pr, st), producing columns
+    {pfx}m {pfx}v {pfx}n {pfx}p {pfx}s. Each returned string is a
+    SELECT-* wrapper layer; every float op mirrors the kernel's NumPy
+    expression order so results are bit-identical."""
+    # NormalDistribution.pdf with the zero-variance guard
+    sv = f"(CASE WHEN abs({v}[i]) <= 1e-15 THEN y / 100.0 ELSE {v}[i] END)"
+    pdf = (
+        f"(1.0 / (sqrt(2.0 * pi()) * sqrt({sv})))"
+        f" * exp((-((y - {m}[i]) * (y - {m}[i]))) / (2.0 * {sv}))"
+    )
+    # withPoint with the faked n=0 on the first mean update; new_n = i
+    fk = "(CASE WHEN i = 1 THEN 0.0 ELSE CAST(i AS DOUBLE) END)"
+    nmean = f"(({m}[i] * {fk} + y) / ({fk} + 1.0))"
+    nvar = (
+        f"(({v}[i] * CAST(i AS DOUBLE)"
+        f" + (y - {nmean}) * (y - {m}[i])) / (CAST(i AS DOUBLE) + 1.0))"
+    )
+    lvl_a = f"""SELECT *,
+        len({m}) AS {pfx}_k,
+        list_transform(range(1, len({m}) + 1), i -> {pdf}) AS {pfx}_pdfs"""
+    lvl_b = f"""SELECT *,
+        list_transform(range(1, {pfx}_k + 1),
+            i -> {pfx}_pdfs[i] * {pr}[i]) AS {pfx}_pp"""
+    lvl_c = f"""SELECT *,
+        CASE WHEN {pfx}_k = 0 THEN 0.0
+             ELSE {_np_sum(pfx + "_pp")} * (1.0 / 200.0) END AS {pfx}_rem,
+        list_transform(range(1, {pfx}_k + 1), i -> {nmean}) AS {pfx}_um,
+        list_transform(range(1, {pfx}_k + 1), i -> {nvar}) AS {pfx}_uv,
+        list_transform(range(1, {pfx}_k + 1),
+            i -> {pfx}_pp[i] * (1.0 - 1.0 / 200.0)) AS {pfx}_up"""
+    # prepend the fresh run; NormalDistribution(0, 1e8).withPoint(y, 1)
+    # variance collapses to the constant 5e7 for any finite y
+    lvl_d = f"""SELECT *,
+        list_prepend(y, {pfx}_um) AS {pfx}_m2,
+        list_prepend(CAST(50000000.0 AS DOUBLE), {pfx}_uv) AS {pfx}_v2,
+        list_prepend(CAST(1 AS BIGINT),
+            range(1, {pfx}_k + 1)) AS {pfx}_n2,
+        list_prepend({pfx}_rem, {pfx}_up) AS {pfx}_p2,
+        list_prepend(tus, {st}) AS {pfx}_s2"""
+    # squash (at most one element past max_history per update):
+    # prob[-2] += prob[-1], then drop the last run
+    lvl_e = f"""SELECT *,
+        CASE WHEN len({pfx}_m2) > {mh}
+             THEN list_slice({pfx}_m2, 1, {mh}) ELSE {pfx}_m2 END AS {pfx}m,
+        CASE WHEN len({pfx}_m2) > {mh}
+             THEN list_slice({pfx}_v2, 1, {mh}) ELSE {pfx}_v2 END AS {pfx}v,
+        CASE WHEN len({pfx}_m2) > {mh}
+             THEN list_slice({pfx}_n2, 1, {mh}) ELSE {pfx}_n2 END AS {pfx}n,
+        CASE WHEN len({pfx}_m2) > {mh}
+             THEN list_slice({pfx}_s2, 1, {mh}) ELSE {pfx}_s2 END AS {pfx}s,
+        CASE WHEN len({pfx}_m2) > {mh}
+             THEN list_append(
+                 list_slice({pfx}_p2, 1, len({pfx}_p2) - 2),
+                 {pfx}_p2[len({pfx}_p2) - 1] + {pfx}_p2[len({pfx}_p2)])
+             ELSE {pfx}_p2 END AS {pfx}_p3"""
+    lvl_f = f"""SELECT *, {_np_sum(pfx + "_p3")} AS {pfx}_tot"""
+    lvl_g = f"""SELECT *,
+        CASE WHEN {pfx}_tot = 0.0
+             THEN list_transform(range(1, len({pfx}_p3) + 1),
+                 i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END)
+             ELSE list_transform({pfx}_p3, x -> x / {pfx}_tot)
+        END AS {pfx}p"""
+    return [lvl_a, lvl_b, lvl_c, lvl_d, lvl_e, lvl_f, lvl_g]
+
+
+def changepoint_events_oracle(
+    max_history: int = 60,
+    trigger_count: int = 40,
+    ignore_outlier_normal_count: int = 1,
+    purge_s: int = 60,
+    minimum_event_interval_s: int = 10,
+    severity_threshold: int = 30,
+    value_expr: str = "value",
+) -> str:
+    """Bayesian online changepoint detection as a recursive-CTE replay
+    (kernel functions/detectors.changepoint_events; reference
+    ChangepointProcessor.scala:240-364 + ChangepointLogic.scala:107-178
+    + NormalDistribution.scala:46-94).
+
+    The CTE advances every series one point per iteration carrying the
+    full processor state: the run arrays (mean/var/n/prob/start, newest
+    first), the frozen 'normal' snapshot, the composite-old pair, the
+    anomaly/outlier counters, and the event-interval clock. Each step
+    computes runs_update twice — once on the live runs, once on the
+    snapshot (used only on outlier rollback) — with every float op in
+    the kernel's NumPy order, including np.sum's pairwise base case
+    (left fold under 8 elements, tree order at exactly 8); hence the
+    ``max_history <= 8`` guard. ``value_expr`` lets the caller apply the
+    same value transform the Spark query applies (the demo query embeds
+    a level shift).
+    """
+    if max_history > 8:
+        raise ValueError(
+            "oracle replays np.sum's <=8-element base case only; "
+            "max_history > 8 would need full pairwise summation"
+        )
+    mh = max_history
+    purge_us = purge_s * 1_000_000
+    min_iv_us = minimum_event_interval_s * 1_000_000
+    gap = (
+        f"(w.last_obs IS NULL OR tus - w.last_obs > {purge_us})"
+        if purge_s > 0
+        else "(w.last_obs IS NULL)"
+    )
+    empty_d = "CAST([] AS DOUBLE[])"
+    empty_b = "CAST([] AS BIGINT[])"
+
+    u1 = _cp_update_levels("u1", "w_rm", "w_rv", "w_rn_", "w_rp", "w_rs", mh)
+    u2 = _cp_update_levels("u2", "e_nm", "e_nv", "e_nn_", "e_np_", "e_ns", mh)
+
+    # pdf of y against the POST-update runs (outlier test)
+    sv2 = "(CASE WHEN abs(u1v[i]) <= 1e-15 THEN y / 100.0 ELSE u1v[i] END)"
+    pdf2 = (
+        f"(1.0 / (sqrt(2.0 * pi()) * sqrt({sv2})))"
+        f" * exp((-((y - u1m[i]) * (y - u1m[i]))) / (2.0 * {sv2}))"
+    )
+
+    # Python negative indexing for start[prev_most_likely]
+    pyidx = (
+        "(CASE WHEN pml_c >= 0 THEN pml_c + 1"
+        " ELSE len(w_rs) + pml_c + 1 END)"
+    )
+
+    join_lvl = f"""SELECT
+        p.conv_id, p.tool, p.role, p.pos, p.ts AS p_ts, p.ts_us AS tus,
+        p.y AS y,
+        w.rm AS w_rm, w.rv AS w_rv, w.rn_ AS w_rn_, w.rp AS w_rp,
+        w.rs AS w_rs,
+        w.nm AS w_nm, w.nv AS w_nv, w.nn_ AS w_nn_, w.np_ AS w_np_,
+        w.ns AS w_ns,
+        w.co_mean AS w_co_mean, w.co_start AS w_co_start,
+        w.ca AS w_ca, w.cno AS w_cno, w.pml AS w_pml,
+        w.last_obs AS w_last_obs, w.last_ev AS w_last_ev,
+        (p.y IS NULL) AS skipnan,
+        (p.y IS NOT NULL AND {gap}) AS is_reset,
+        (p.y IS NOT NULL AND NOT {gap}) AS active
+    FROM walk w
+    JOIN pts p
+      ON p.conv_id = w.conv_id AND p.tool = w.tool AND p.role = w.role
+     AND p.pos = w.pos + 1"""
+
+    snap_lvl = f"""SELECT *,
+        CASE WHEN w_pml >= len(w_rm) THEN len(w_rm) - 1 ELSE w_pml END
+            AS pml_c,
+        (active AND w_ca = 0) AS snap
+    FROM __t"""
+
+    eff_lvl = f"""SELECT *,
+        CASE WHEN snap THEN w_rm ELSE w_nm END AS e_nm,
+        CASE WHEN snap THEN w_rv ELSE w_nv END AS e_nv,
+        CASE WHEN snap THEN w_rn_ ELSE w_nn_ END AS e_nn_,
+        CASE WHEN snap THEN w_rp ELSE w_np_ END AS e_np_,
+        CASE WHEN snap THEN w_rs ELSE w_ns END AS e_ns,
+        CASE WHEN snap THEN
+            CASE WHEN len(w_rm) > 0
+                 THEN w_rm[{_cp_fargmax("w_rn_")} + 1] ELSE 0.0 END
+        ELSE w_co_mean END AS co_mean_e,
+        CASE WHEN snap THEN
+            CASE WHEN len(w_rm) > 0 THEN w_rs[{pyidx}] ELSE 0 END
+        ELSE w_co_start END AS co_start_e
+    FROM __t"""
+
+    branch_lvl = f"""SELECT *,
+        {_cp_fargmax("u1p")} AS ml,
+        list_transform(range(1, len(u1m) + 1), i -> {pdf2}) AS pdfs2
+    FROM __t"""
+
+    branch2_lvl = f"""SELECT *,
+        (active AND ml <> pml_c) AS anomaly,
+        {_cp_fargmax("pdfs2")} AS hp
+    FROM __t"""
+
+    branch3_lvl = f"""SELECT *,
+        (anomaly AND hp = len(u1m) - 2) AS outlier_path,
+        CASE WHEN anomaly THEN w_ca + 1 ELSE 0 END AS ca1
+    FROM __t"""
+
+    branch4_lvl = f"""SELECT *,
+        (outlier_path
+         AND w_cno + 1 > {ignore_outlier_normal_count}) AS rollback,
+        CASE WHEN NOT active THEN w_cno
+             WHEN anomaly THEN
+                 CASE WHEN outlier_path THEN w_cno + 1 ELSE 0 END
+             ELSE 0 END AS cno1,
+        (active AND NOT (outlier_path
+            AND w_cno + 1 > {ignore_outlier_normal_count})
+         AND CASE WHEN anomaly THEN w_ca + 1 ELSE 0 END
+             > {trigger_count}) AS trigger_,
+        u1m[list_position(u1n, 1)] AS new_mean_t
+    FROM __t"""
+
+    # change_magnitude_severity(co_mean_e, new_mean_t), inline
+    sev_lvl = f"""SELECT *,
+        least(co_mean_e, new_mean_t) AS sev_mn,
+        greatest(co_mean_e, new_mean_t) AS sev_mx
+    FROM __t"""
+    sev2_lvl = """SELECT *,
+        greatest(
+            CASE WHEN sev_mn < 0.1 THEN 4.8
+                 ELSE exp(-0.17949 * ln(sev_mn) + 1.13489) END,
+            1.1) AS sev_bm
+    FROM __t"""
+    sev3_lvl = """SELECT *,
+        CASE WHEN (sev_bm - 1.0) * sev_mn = 0
+             THEN CAST('infinity' AS DOUBLE)
+             ELSE 30.0 * ((sev_mx - sev_mn) / ((sev_bm - 1.0) * sev_mn))
+        END AS sev_maybe
+    FROM __t"""
+    sev4_lvl = f"""SELECT *,
+        CAST(CASE WHEN sev_maybe < 1 THEN 1
+                  WHEN sev_maybe > 100 THEN 100
+                  ELSE trunc(sev_maybe) END AS INTEGER) AS sev_t,
+        (trigger_ AND CAST(CASE WHEN sev_maybe < 1 THEN 1
+                  WHEN sev_maybe > 100 THEN 100
+                  ELSE trunc(sev_maybe) END AS INTEGER)
+             > {severity_threshold}) AS resetting
+    FROM __t"""
+
+    final_lvl = f"""SELECT conv_id, tool, role, pos,
+        CASE WHEN skipnan THEN w_rm WHEN is_reset THEN {empty_d}
+             WHEN rollback THEN u2m WHEN resetting THEN {empty_d}
+             ELSE u1m END AS rm,
+        CASE WHEN skipnan THEN w_rv WHEN is_reset THEN {empty_d}
+             WHEN rollback THEN u2v WHEN resetting THEN {empty_d}
+             ELSE u1v END AS rv,
+        CASE WHEN skipnan THEN w_rn_ WHEN is_reset THEN {empty_b}
+             WHEN rollback THEN u2n WHEN resetting THEN {empty_b}
+             ELSE u1n END AS rn_,
+        CASE WHEN skipnan THEN w_rp WHEN is_reset THEN {empty_d}
+             WHEN rollback THEN u2p WHEN resetting THEN {empty_d}
+             ELSE u1p END AS rp,
+        CASE WHEN skipnan THEN w_rs WHEN is_reset THEN {empty_b}
+             WHEN rollback THEN u2s WHEN resetting THEN {empty_b}
+             ELSE u1s END AS rs,
+        CASE WHEN skipnan THEN w_nm WHEN is_reset THEN {empty_d}
+             WHEN resetting THEN {empty_d} ELSE e_nm END AS nm,
+        CASE WHEN skipnan THEN w_nv WHEN is_reset THEN {empty_d}
+             WHEN resetting THEN {empty_d} ELSE e_nv END AS nv,
+        CASE WHEN skipnan THEN w_nn_ WHEN is_reset THEN {empty_b}
+             WHEN resetting THEN {empty_b} ELSE e_nn_ END AS nn_,
+        CASE WHEN skipnan THEN w_np_ WHEN is_reset THEN {empty_d}
+             WHEN resetting THEN {empty_d} ELSE e_np_ END AS np_,
+        CASE WHEN skipnan THEN w_ns WHEN is_reset THEN {empty_b}
+             WHEN resetting THEN {empty_b} ELSE e_ns END AS ns,
+        CASE WHEN skipnan THEN w_co_mean
+             WHEN is_reset OR resetting THEN 0.0
+             ELSE co_mean_e END AS co_mean,
+        CASE WHEN skipnan THEN w_co_start
+             WHEN is_reset OR resetting THEN 0
+             ELSE co_start_e END AS co_start,
+        CASE WHEN skipnan THEN w_ca
+             WHEN is_reset OR resetting OR rollback THEN 0
+             WHEN trigger_ AND NOT resetting THEN 0
+             ELSE ca1 END AS ca,
+        CASE WHEN skipnan THEN w_cno
+             WHEN is_reset OR resetting OR rollback THEN 0
+             ELSE cno1 END AS cno,
+        CASE WHEN skipnan THEN w_pml
+             WHEN is_reset OR resetting THEN 0
+             WHEN rollback THEN pml_c
+             ELSE ml END AS pml,
+        CASE WHEN skipnan THEN w_last_obs ELSE tus END AS last_obs,
+        CASE WHEN resetting AND (w_last_ev IS NULL
+                 OR tus - w_last_ev > {min_iv_us})
+             THEN tus ELSE w_last_ev END AS last_ev,
+        (resetting AND (w_last_ev IS NULL
+            OR tus - w_last_ev > {min_iv_us})) AS emit,
+        p_ts, sev_t AS e_sev,
+        tus - co_start_e AS e_lat,
+        co_mean_e AS e_old, new_mean_t AS e_new
+    FROM __t"""
+
+    levels = (
+        [join_lvl, snap_lvl, eff_lvl]
+        + u1
+        + u2
+        + [branch_lvl, branch2_lvl, branch3_lvl, branch4_lvl,
+           sev_lvl, sev2_lvl, sev3_lvl, sev4_lvl, final_lvl]
+    )
+    # nest the levels: innermost first
+    rec = levels[0]
+    for lvl in levels[1:]:
+        if "__t" not in lvl:
+            lvl = lvl + "\n    FROM __t"
+        rec = lvl.replace("__t", f"(\n{rec}\n)")
+
+    body = f"""
+, pts AS (
+    SELECT conv_id, tool, role, ts, epoch_us(ts) AS ts_us,
+        CAST({value_expr} AS DOUBLE) AS y,
+        row_number() OVER (
+            PARTITION BY conv_id, tool, role ORDER BY ts, turn_idx
+        ) AS pos
+    FROM transcripts
+),
+walk AS (
+    SELECT conv_id, tool, role, CAST(0 AS BIGINT) AS pos,
+        {empty_d} AS rm, {empty_d} AS rv, {empty_b} AS rn_,
+        {empty_d} AS rp, {empty_b} AS rs,
+        {empty_d} AS nm, {empty_d} AS nv, {empty_b} AS nn_,
+        {empty_d} AS np_, {empty_b} AS ns,
+        CAST(0.0 AS DOUBLE) AS co_mean, CAST(0 AS BIGINT) AS co_start,
+        CAST(0 AS INTEGER) AS ca, CAST(0 AS INTEGER) AS cno,
+        CAST(0 AS INTEGER) AS pml,
+        CAST(NULL AS BIGINT) AS last_obs, CAST(NULL AS BIGINT) AS last_ev,
+        FALSE AS emit, CAST(NULL AS TIMESTAMP) AS p_ts,
+        CAST(NULL AS INTEGER) AS e_sev, CAST(NULL AS BIGINT) AS e_lat,
+        CAST(NULL AS DOUBLE) AS e_old, CAST(NULL AS DOUBLE) AS e_new
+    FROM (SELECT DISTINCT conv_id, tool, role FROM pts)
+    UNION ALL
+    {rec}
+)
+SELECT 'changepoint_events' AS event_type, conv_id, tool, role,
+    e_sev AS severity, p_ts AS ts,
+    CAST(e_lat AS BIGINT) AS detection_latency_us,
+    'Latency ' || (CASE WHEN e_old > e_new THEN 'decreased'
+                        ELSE 'increased' END)
+        || ' from ' || CAST(trunc(e_old) AS BIGINT)
+        || ' to ' || CAST(trunc(e_new) AS BIGINT) AS description
+FROM walk WHERE emit
+"""
+    return with_transcripts(body).replace(
+        "WITH transcripts", "WITH RECURSIVE transcripts", 1
+    )

@@ -273,3 +273,141 @@ def test_spike_oracles_match_spark_bit_exact(spark, sf_dir):
         oracles.spike_details_oracle(**kw),
         sf_dir,
     )
+
+
+def test_changepoint_oracle_matches_spark(spark, sf_dir):
+    """The Bayesian changepoint recursive-CTE oracle replays the kernel's
+    run-array updates (pdf, withPoint, squash, normalise — including
+    np.sum's pairwise base case at exactly 8 elements) bit-exactly on
+    real data with the gate query's level-shift transform."""
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark import oracles
+    from streamevmon_spark.data.transcripts import load_transcripts
+    from streamevmon_spark.operators.detect import detect
+
+    from .oracle_utils import assert_matches_oracle
+
+    # purge_s=0 (gap purge disabled — sf0.001 inter-turn gaps exceed any
+    # sane purge) also exercises the oracle's no-purge reset branch;
+    # ignore_outlier_normal_count=5 lets anomaly cascades survive the
+    # outlier-rollback heuristic long enough to trigger on short series
+    kw = dict(
+        max_history=8, trigger_count=2, ignore_outlier_normal_count=5,
+        minimum_event_interval_s=0, severity_threshold=20, purge_s=0,
+    )
+    df = load_transcripts(spark, sf_dir).withColumn(
+        "value",
+        F.when(F.col("turn_idx") < 4, F.lit(10000.0) + F.col("value"))
+        .otherwise(F.lit(40000.0) + F.col("value")),
+    )
+    got = detect(df, "changepoint", **kw)
+    assert got.count() > 0
+    assert_matches_oracle(
+        got,
+        oracles.changepoint_events_oracle(
+            value_expr=(
+                "(CASE WHEN turn_idx < 4 THEN 10000.0 + value"
+                " ELSE 40000.0 + value END)"
+            ),
+            **kw,
+        ),
+        sf_dir,
+    )
+
+
+def test_changepoint_oracle_branch_coverage_synthetic():
+    """Kernel vs oracle on a hand-built series that provably exercises
+    every state-machine branch (verified by line tracing when the series
+    was designed): NaN skip, purge reset, outlier increment, outlier
+    ROLLBACK to the frozen normal snapshot, cno reset, an emitted event,
+    a suppressed emit inside minimum_event_interval, a low-severity
+    trigger, the zero-variance pdf guard, and max_history squash."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from streamevmon_spark import oracles
+    from streamevmon_spark.functions.detectors import changepoint_events
+
+    vals: list[float] = []
+    ts_s: list[int] = []
+    t = 0
+
+    def add(v: float, dt: int = 1) -> None:
+        nonlocal t
+        t += dt
+        vals.append(v)
+        ts_s.append(t)
+
+    # short baseline then a single outlier spike -> rollback path
+    for i in range(3):
+        add(1000.0 + (i % 3))
+    add(50000.0)
+    for i in range(8):
+        add(1000.0 + (i % 2))
+    add(float("nan"))
+    # constant stretch (zero-variance pdf guard)
+    for _ in range(6):
+        add(1000.0)
+    # small level shift -> trigger, severity below threshold
+    for _ in range(10):
+        add(1100.0)
+    # big level shift -> emitted event
+    for _ in range(10):
+        add(9000.0)
+    # second big shift within min interval -> suppressed emit + reset
+    for _ in range(10):
+        add(40000.0)
+    # purge gap, then another shift -> fresh event after purge
+    add(2000.0, dt=120)
+    for i in range(8):
+        add(2000.0 + (i % 2))
+    for _ in range(8):
+        add(12000.0)
+
+    kw = dict(
+        max_history=8, trigger_count=4, ignore_outlier_normal_count=1,
+        purge_s=60, minimum_event_interval_s=10, severity_threshold=30,
+    )
+    ts_us = np.array(ts_s, dtype=np.int64) * 1_000_000
+    evs = changepoint_events(np.array(vals), ts_us, **kw)
+    kernel = pd.DataFrame(
+        [
+            {
+                "event_type": e["event_type"],
+                "conv_id": "conv-0001",
+                "tool": "none",
+                "role": "user",
+                "severity": e["severity"],
+                "ts": pd.Timestamp(e["ts_us"], unit="us"),
+                "detection_latency_us": e["detection_latency_us"],
+                "description": e["description"],
+            }
+            for e in evs
+        ]
+    )
+    assert len(kernel) == 2  # one emitted, one suppressed, one post-purge
+
+    # events-shaped frame that TRANSCRIPTS_SQL maps onto the same series:
+    # user_id=1 -> conv-0001, 'click' -> (user, none); event_id stays off
+    # the %37==0 lossy mask so NaN placement is controlled by `value`
+    events = pd.DataFrame(
+        {
+            "event_id": [i * 37 + 1 for i in range(len(vals))],
+            "user_id": 1,
+            "event_type": "click",
+            "value": [None if np.isnan(v) else v for v in vals],
+            "ts": pd.to_datetime(np.asarray(ts_us), unit="us"),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", events)
+    got = con.execute(oracles.changepoint_events_oracle(**kw)).fetchdf()
+    got = got.sort_values("ts", ignore_index=True)[list(kernel.columns)]
+    casts = {
+        "severity": "int64",
+        "detection_latency_us": "int64",
+        "ts": "datetime64[us]",
+    }
+    pd.testing.assert_frame_equal(got.astype(casts), kernel.astype(casts))
