@@ -808,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bits_per_table=3,
         ),
         "ann_lsh_topk": _q_embs("lsh_ann_topk", n_queries=10, k=5),
+        "ann_ivf_topk": _q_embs("ivf_ann_topk", n_queries=10, k=5),
         # composed training-data pipeline (quality -> dedup -> lang ->
         # embedding attach), oracle-checked end-to-end
         "curate_corpus": _q_curate,
@@ -949,6 +950,9 @@ def oracle_sql() -> dict[str, str]:
         # scale-path ANN is oracle-checked end-to-end, not just recall-
         # tested
         "ann_lsh_topk": docs_oracles.lsh_ann_topk_oracle(10, 5),
+        # same discipline for the IVF path: centroid literals mirrored,
+        # so the inverted-file ANN is oracle-checked end-to-end too
+        "ann_ivf_topk": docs_oracles.ivf_ann_topk_oracle(10, 5),
         "graph_paths": graph_oracles.paths_oracle(),
         "graph_vertices": graph_oracles.vertices_oracle(),
         "graph_edges": graph_oracles.edges_oracle(),

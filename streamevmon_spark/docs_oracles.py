@@ -384,6 +384,62 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def ivf_ann_topk_oracle(
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 2,
+) -> str:
+    """Full DuckDB mirror of operators/similarity.ivf_ann_topk: the
+    unit-norm centroids are pure-Python constants embedded as identical
+    double literals; cell scores sort DESC over (d, -c) structs in both
+    engines (field-by-field comparison, ascending-cell tie-break), the
+    corpus keeps its single best cell, queries probe the top n_probe."""
+    from streamevmon_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(dim, n_cells, seed)
+    structs = ", ".join(
+        "{d: "
+        + _DOT.format(
+            a="embedding", b="[" + ", ".join(repr(x) for x in p) + "]"
+        )
+        + f", nc: {-c}}}"
+        for c, p in enumerate(cents)
+    )
+    norm = _DOT.format(a="embedding", b="embedding")
+    return f"""
+WITH n AS (
+    SELECT vec_id, embedding, sqrt({norm}) AS nrm,
+           list_sort([{structs}], 'DESC') AS cells
+    FROM embeddings
+),
+corpus AS (
+    SELECT vec_id, embedding, nrm, -(cells[1].nc) AS cell FROM n
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+           unnest(list_transform(cells[1:{n_probe}], s -> -s.nc)) AS cell
+    FROM n WHERE vec_id < {n_queries}
+),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           {_DOT.format(a='q.q_emb', b='c.embedding')} / (q.q_nrm * c.nrm)
+               AS cosine
+    FROM corpus c JOIN q USING (cell)
+    WHERE c.vec_id != q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 _KIND = (
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
     "WHEN 1 THEN 'audio' ELSE 'video' END"

@@ -268,6 +268,101 @@ def embedding_neardup_lsh(
     )
 
 
+def _ivf_centroids(
+    dim: int, n_cells: int, seed: int = 2
+) -> list[list[float]]:
+    """Deterministic unit-norm coarse-quantizer centroids.
+
+    Production IVF trains centroids offline (k-means over a sample) and
+    ships them to the job as constants; the engine's contract is the
+    same — centroids are inputs, not data-dependent reductions — which
+    keeps the cell assignment free of any cross-row float-summation
+    order and therefore bit-exactly mirrorable in the DuckDB oracle.
+    Here they are seeded pseudo-random directions from the portable
+    hash (normalized in plain Python so both engines receive identical
+    double literals)."""
+    import math
+
+    out = []
+    for c in range(n_cells):
+        raw = [
+            (hex32(f"ivf:{seed}:{c}:{j}") / float(1 << 31)) - 1.0
+            for j in range(dim)
+        ]
+        nrm = math.sqrt(sum(x * x for x in raw))
+        out.append([x / nrm for x in raw])
+    return out
+
+
+def _cell_scores(cents: list[list[float]]) -> F.Column:
+    """array<struct<d,nc>> of (dot(embedding, centroid_c), -c) — sorted
+    descending this orders cells by similarity with ascending-cell
+    tie-break (struct comparison is field-by-field in both engines)."""
+    structs = []
+    for c, p in enumerate(cents):
+        arr = "array(" + ",".join(f"{x!r}D" for x in p) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with(embedding, {arr}, (x, y) ->"
+            " CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v)"
+        )
+        structs.append(F.struct(dot.alias("d"), F.lit(-c).alias("nc")))
+    return F.array(*structs)
+
+
+def ivf_ann_topk(
+    vecs: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: every corpus vector is assigned to its
+    single most-similar coarse cell; a query probes its ``n_probe``
+    nearest cells and exact-cosine re-ranks only those cells' vectors.
+
+    The 100 TB shape: the corpus is partitioned once by cell id (an
+    equi-join key, never a cross join), each vector appears in exactly
+    ONE cell (no dedup step, unlike multi-table LSH), and the probe
+    fan-out is a broadcast of n_queries x n_probe rows. Candidate cost
+    is n_probe/n_cells of the corpus per query. Recall is
+    tolerance-tested against ``cosine_topk``; every emitted cosine is
+    bit-exact vs the DuckDB mirror (centroid literals shared)."""
+    v = with_norm(vecs)
+    cells = _cell_scores(_ivf_centroids(dim, n_cells, seed))
+    sorted_cells = F.sort_array(cells, False)
+    corpus = v.select(
+        "vec_id", "embedding", "__norm",
+        (-sorted_cells[0]["nc"]).alias("cell"),
+    )
+    q = corpus.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("__norm").alias("q_norm"),
+        F.explode(
+            F.transform(
+                F.slice(sorted_cells, 1, n_probe), lambda s: -s["nc"]
+            )
+        ).alias("cell"),
+    )
+    cand = corpus.join(F.broadcast(q), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = (_dot("q_emb", "embedding") / (F.col("q_norm") * F.col("__norm"))
+           ).alias("cosine")
+    scored = cand.select("query_id", "vec_id", cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
 def lsh_ann_topk(
     vecs: DataFrame,
     n_queries: int = 10,

