@@ -433,6 +433,24 @@ def _q_stream_detect_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_detect_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    path = _stream_input(spark, sf_dir)
+    name = f"q_sds_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_detect_spike(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            lag=5, threshold=2.0, influence=0.1, purge_s=86400,
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.operators.curate import curate_corpus
     from streamevmon_spark.operators.similarity import _dot
@@ -767,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # micro-batches (one file per trigger), equal to the batch
         # detector and its window-SQL oracle
         "stream_detect_loss": _q_stream_detect_loss,
+        "stream_detect_spike": _q_stream_detect_spike,
         # multimodal columns (binary payload + typed metadata; decode
         # stubbed behind a deterministic fake — see operators/multimodal)
         "media_metadata": _q_media_metadata,
@@ -923,6 +942,12 @@ def oracle_sql() -> dict[str, str]:
         "stream_latency": oracles.stream_latency_oracle(),
         "stream_detect_loss": oracles.loss_events_oracle(
             max_history=30, loss_count=3, consecutive_count=2
+        ),
+        # the streaming spike fold carries its rolling-sum accumulators
+        # across micro-batches, so it stays bit-equal to the batch
+        # kernel's recursive-CTE oracle
+        "stream_detect_spike": oracles.spike_events_oracle(
+            lag=5, threshold=2.0, influence=0.1, purge_s=86400
         ),
         "media_metadata": oracles.media_metadata_oracle(),
         # byte-level fake decode re-derived from the ASCII text column;

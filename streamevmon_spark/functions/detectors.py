@@ -107,6 +107,8 @@ __all__ = [
     "smoothed_zscore",
     "baseline_events",
     "spike_events",
+    "spike_fold",
+    "fresh_spike_state",
     "loss_events",
     "loss_fold",
     "mode_events",
@@ -167,25 +169,49 @@ def smoothed_zscore(
     return out
 
 
-def spike_events(
+def fresh_spike_state() -> dict:
+    """Externalizable spike-detector state (the reference's checkpointed
+    operator state, detectors/spike/SpikeDetector.scala:80-111): the
+    smoothed history queue WITH its rolling-sum accumulators and refresh
+    counter — carrying s1/s2/ops verbatim means a resumed fold performs
+    the identical IEEE op sequence as one uninterrupted pass, so
+    streaming micro-batches stay bit-equal to the batch kernel."""
+    return {
+        "q": [],
+        "s1": 0.0,
+        "s2": 0.0,
+        "ops": 0,
+        "last_obs": None,
+        "last_val": math.nan,
+        "last_mean": math.nan,
+        "last_std": math.nan,
+    }
+
+
+def spike_fold(
     values: np.ndarray,
     ts_us: np.ndarray,
+    state: dict,
     lag: int = 50,
     threshold: float = 50.0,
     influence: float = 0.01,
     purge_s: int = 60,
 ) -> list[dict]:
-    """detectors/spike/SpikeDetector.scala:113-190 — SmoothedZScore with
-    session-gap reset; severity vs the previous non-lossy value."""
+    """Resumable core of ``spike_events``: continues from (and mutates)
+    ``state`` — see fresh_spike_state()."""
     v = np.asarray(values, dtype=np.float64)
     t = np.asarray(ts_us, dtype=np.int64)
     purge_us = purge_s * 1_000_000
     events: list[dict] = []
-    last_obs: int | None = None
-    last_val: float = math.nan
     hist = _RollingMeanStd()
-    last_mean = math.nan
-    last_std = math.nan
+    hist.q.extend(state["q"])
+    hist.s1 = state["s1"]
+    hist.s2 = state["s2"]
+    hist.ops = state["ops"]
+    last_obs: int | None = state["last_obs"]
+    last_val: float = state["last_val"]
+    last_mean = state["last_mean"]
+    last_std = state["last_std"]
     for i in range(v.size):
         x, ti = float(v[i]), int(t[i])
         if last_obs is None or ti - last_obs > purge_us:
@@ -218,7 +244,28 @@ def spike_events(
                 }
             )
         last_val = x
+    state.update(
+        q=list(hist.q), s1=hist.s1, s2=hist.s2, ops=hist.ops,
+        last_obs=last_obs, last_val=last_val,
+        last_mean=last_mean, last_std=last_std,
+    )
     return events
+
+
+def spike_events(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    lag: int = 50,
+    threshold: float = 50.0,
+    influence: float = 0.01,
+    purge_s: int = 60,
+) -> list[dict]:
+    """detectors/spike/SpikeDetector.scala:113-190 — SmoothedZScore with
+    session-gap reset; severity vs the previous non-lossy value."""
+    return spike_fold(
+        values, ts_us, fresh_spike_state(),
+        lag=lag, threshold=threshold, influence=influence, purge_s=purge_s,
+    )
 
 
 # ------------------------------------------------------------- baseline

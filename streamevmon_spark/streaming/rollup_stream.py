@@ -303,3 +303,107 @@ def stream_detect_loss(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_detect_spike(
+    stream: DataFrame,
+    lag: int = 50,
+    threshold: float = 50.0,
+    influence: float = 0.01,
+    purge_s: int = 60,
+) -> DataFrame:
+    """SpikeDetector as a streaming stateful operator: the smoothed
+    history queue AND its rolling-sum accumulators/refresh counter (the
+    reference's checkpointed operator state,
+    detectors/spike/SpikeDetector.scala:80-111) cross micro-batches in
+    applyInPandasWithState, so the resumed fold performs the identical
+    IEEE op sequence as one uninterrupted batch pass — drained streaming
+    output equals the batch detector AND its recursive-CTE oracle row
+    for row, bit for bit."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from streamevmon_spark.functions.detectors import (
+        fresh_spike_state,
+        spike_fold,
+    )
+    from streamevmon_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(stream.sparkSession)
+
+    def fn(key, pdf_iter, state):
+        st = fresh_spike_state()
+        if state.exists:
+            q, s1, s2, ops, last_obs, last_val, last_mean, last_std = (
+                state.get
+            )
+            st.update(
+                q=list(q), s1=s1, s2=s2, ops=int(ops),
+                last_obs=None if last_obs is None else int(last_obs),
+                last_val=math.nan if last_val is None else last_val,
+                last_mean=math.nan if last_mean is None else last_mean,
+                last_std=math.nan if last_std is None else last_std,
+            )
+        conv_id, tool, role = key
+        rows: list[dict] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            ts_us = (
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+            ).to_numpy(np.int64)
+            vals = pdf["value"].to_numpy(np.float64)
+            for ev in spike_fold(
+                vals, ts_us, st,
+                lag=lag, threshold=threshold, influence=influence,
+                purge_s=purge_s,
+            ):
+                rows.append(
+                    {
+                        "event_type": ev["event_type"],
+                        "conv_id": conv_id,
+                        "tool": tool,
+                        "role": role,
+                        "severity": ev["severity"],
+                        "ts_us": ev["ts_us"],
+                        "detection_latency_us": ev["detection_latency_us"],
+                        "description": ev["description"],
+                    }
+                )
+        # NaN floats round-trip the state row as-is; None only for the
+        # genuinely optional last_obs
+        state.update(
+            (
+                st["q"], st["s1"], st["s2"], st["ops"], st["last_obs"],
+                st["last_val"], st["last_mean"], st["last_std"],
+            )
+        )
+        out = pd.DataFrame(
+            rows,
+            columns=["event_type", "conv_id", "tool", "role", "severity",
+                     "ts_us", "detection_latency_us", "description"],
+        )
+        out["ts"] = pd.to_datetime(out["ts_us"].astype("int64"), unit="us")
+        out["severity"] = out["severity"].astype("int32")
+        yield out[
+            ["event_type", "conv_id", "tool", "role", "severity", "ts",
+             "detection_latency_us", "description"]
+        ]
+
+    return stream.groupBy("conv_id", "tool", "role").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "event_type string, conv_id string, tool string, role string, "
+            "severity int, ts timestamp_ntz, detection_latency_us long, "
+            "description string"
+        ),
+        stateStructType=(
+            "q array<double>, s1 double, s2 double, ops int, "
+            "last_obs long, last_val double, last_mean double, "
+            "last_std double"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -176,3 +176,32 @@ def test_gapfill_kernel_numpy_matches_bruteforce(series, tier_i):
             assert math.isnan(out[k])
         else:
             assert out[k] == prev[-1][1]
+
+
+@given(value_series(), st.integers(1, 79), st.integers(1, 10),
+       st.floats(0.1, 10.0), st.floats(0.0, 1.0))
+@settings(max_examples=150, deadline=None)
+def test_spike_fold_split_equals_whole(series, split, lag, thr, infl):
+    """Folding a series in two chunks with carried state (queue AND
+    rolling-sum accumulators/refresh counter) must equal one
+    whole-series fold — the streaming-vs-batch invariant behind
+    stream_detect_spike, for arbitrary series and parameters."""
+    from streamevmon_spark.functions.detectors import (
+        fresh_spike_state,
+        spike_events,
+        spike_fold,
+    )
+
+    vals, ts = series
+    split = min(split, vals.size)
+    whole = spike_events(vals, ts, lag=lag, threshold=thr,
+                         influence=infl, purge_s=60)
+    st_ = fresh_spike_state()
+    a = spike_fold(vals[:split], ts[:split], st_, lag=lag, threshold=thr,
+                   influence=infl, purge_s=60)
+    b = spike_fold(vals[split:], ts[split:], st_, lag=lag, threshold=thr,
+                   influence=infl, purge_s=60)
+    strip = lambda evs: [
+        {k: v for k, v in e.items() if k != "idx"} for e in evs
+    ]
+    assert strip(a) + strip(b) == strip(whole)

@@ -73,3 +73,33 @@ def test_stream_latency_state_across_microbatches(spark, sf_dir):
     n_batches = 4
     assert g["lat_us"].notna().sum() > 0
     assert n_batches > 1
+
+
+def test_stream_detect_spike_equals_batch(spark, sf_dir):
+    """Drained streaming spike events equal the batch detector's: the
+    history queue AND its rolling-sum accumulators cross micro-batch
+    boundaries, so the resumed fold is the identical IEEE op sequence."""
+    from streamevmon_spark.operators.detect import detect
+
+    path = _input_dir(spark, sf_dir)
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    kw = dict(lag=5, threshold=2.0, influence=0.1, purge_s=86400)
+    S.run_available_now(
+        S.stream_detect_spike(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            **kw,
+        ),
+        name,
+        output_mode="append",
+    )
+    got = spark.table(name)
+    exp = detect(load_transcripts(spark, sf_dir), "spike", **kw)
+    cols = ["event_type", "conv_id", "tool", "role", "severity", "ts",
+            "detection_latency_us", "description"]
+    import pandas as pd
+
+    g, x = _sorted_pdf(got, cols), _sorted_pdf(exp, cols)
+    assert len(x) > 0
+    pd.testing.assert_frame_equal(
+        g.astype({"severity": "int64"}), x.astype({"severity": "int64"})
+    )
