@@ -451,6 +451,57 @@ def _q_stream_detect_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_detect_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    path = _stream_input(spark, sf_dir)
+    name = f"q_sdm_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_detect(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            "mode", max_history=5, min_frequency=1, min_prominence=0,
+            threshold=0.1, purge_s=86400,
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
+def _q_stream_detect_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic pickled-blob-state streaming wrapper running the
+    Bayesian changepoint kernel (level shift embedded as in
+    _q_detect_changepoint); carried run arrays keep drained streaming
+    output bit-equal to the batch kernel and its recursive-CTE oracle."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    path = _stream_input(spark, sf_dir)
+    name = f"q_sdc_{uuid.uuid4().hex[:8]}"
+    shifted = S.stream_transcripts(
+        spark, path, max_files_per_trigger=1
+    ).withColumn(
+        "value",
+        F.when(F.col("turn_idx") < 8, F.lit(10000.0) + F.col("value"))
+        .otherwise(F.lit(40000.0) + F.col("value")),
+    )
+    S.run_available_now(
+        S.stream_detect(
+            shifted, "changepoint", max_history=8, trigger_count=2,
+            minimum_event_interval_s=0, severity_threshold=20,
+            purge_s=86400,
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.operators.curate import curate_corpus
     from streamevmon_spark.operators.similarity import _dot
@@ -786,6 +837,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detector and its window-SQL oracle
         "stream_detect_loss": _q_stream_detect_loss,
         "stream_detect_spike": _q_stream_detect_spike,
+        # generic streaming wrapper (pickled-blob keyed state, the Kryo
+        # analogue): ANY detector fold runs streaming — mode's count map
+        # and changepoint's Bayesian run arrays cross micro-batches
+        "stream_detect_mode": _q_stream_detect_mode,
+        "stream_detect_changepoint": _q_stream_detect_changepoint,
         # multimodal columns (binary payload + typed metadata; decode
         # stubbed behind a deterministic fake — see operators/multimodal)
         "media_metadata": _q_media_metadata,
@@ -948,6 +1004,19 @@ def oracle_sql() -> dict[str, str]:
         # kernel's recursive-CTE oracle
         "stream_detect_spike": oracles.spike_events_oracle(
             lag=5, threshold=2.0, influence=0.1, purge_s=86400
+        ),
+        # generic blob-state streaming wrapper: same fold, same oracle
+        "stream_detect_mode": oracles.mode_events_oracle(
+            max_history=5, min_frequency=1, min_prominence=0,
+            threshold=0.1, purge_s=86400,
+        ),
+        "stream_detect_changepoint": oracles.changepoint_events_oracle(
+            max_history=8, trigger_count=2, minimum_event_interval_s=0,
+            severity_threshold=20, purge_s=86400,
+            value_expr=(
+                "(CASE WHEN turn_idx < 8 THEN 10000.0 + value"
+                " ELSE 40000.0 + value END)"
+            ),
         ),
         "media_metadata": oracles.media_metadata_oracle(),
         # byte-level fake decode re-derived from the ASCII text column;

@@ -106,15 +106,25 @@ __all__ = [
     "change_magnitude_severity",
     "smoothed_zscore",
     "baseline_events",
+    "baseline_fold",
+    "fresh_baseline_state",
     "spike_events",
     "spike_fold",
     "fresh_spike_state",
     "loss_events",
     "loss_fold",
+    "fresh_loss_state",
     "mode_events",
+    "mode_fold",
+    "fresh_mode_state",
     "distdiff_events",
+    "distdiff_fold",
+    "fresh_distdiff_state",
     "changepoint_events",
+    "changepoint_fold",
+    "fresh_changepoint_state",
     "DETECTORS",
+    "DETECTOR_FOLDS",
 ]
 
 
@@ -291,30 +301,37 @@ def _commons_math_percentile(sorted_vals, p: float) -> float:
     return lower + d * (upper - lower)
 
 
-def baseline_events(
+def fresh_baseline_state() -> dict:
+    """Externalizable baseline-detector state (the reference's
+    checkpointed keyed state, BaselineDetector.scala:52-74): the
+    insertion-order window, its sorted mirror, the purge clock and the
+    previous percentile result."""
+    return {"recents": [], "srt": [], "last_obs": None, "last_result": 0.0}
+
+
+def baseline_fold(
     values: np.ndarray,
     ts_us: np.ndarray,
+    state: dict,
     max_history: int = 50,
     percentile: float = 0.10,
     threshold: float = 25.0,
     purge_s: int = 600,
 ) -> list[dict]:
-    """detectors/baseline/BaselineDetector.scala:52-162 — sliding
-    percentile baseline; event when the baseline's change magnitude
-    exceeds ``threshold``. ``percentile`` is a commons-math percent
-    (0.10 => the 0.1th percentile, i.e. a near-minimum baseline)."""
+    """Resumable core of ``baseline_events``: continues from (and
+    mutates) ``state`` — see fresh_baseline_state()."""
     v = np.asarray(values, dtype=np.float64)
     t = np.asarray(ts_us, dtype=np.int64)
     purge_us = purge_s * 1_000_000
     events: list[dict] = []
-    last_obs: int | None = None
+    last_obs: int | None = state["last_obs"]
     # insertion-order queue + insort-maintained sorted mirror: O(log h)
     # search + memmove per point instead of a full O(h log h) sort — the
     # sorted array is IDENTICAL to np.sort of the window, so the
     # percentile (and every emitted event) is bit-exact unchanged
-    recents: deque[float] = deque()
-    srt: list[float] = []
-    last_result = 0.0
+    recents: deque[float] = deque(state["recents"])
+    srt: list[float] = list(state["srt"])
+    last_result = state["last_result"]
     for i in range(v.size):
         x, ti = float(v[i]), int(t[i])
         if last_obs is None or ti - last_obs > purge_us:
@@ -352,7 +369,30 @@ def baseline_events(
                     }
                 )
         last_result = result
+    state.update(
+        recents=list(recents), srt=srt, last_obs=last_obs,
+        last_result=last_result,
+    )
     return events
+
+
+def baseline_events(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    max_history: int = 50,
+    percentile: float = 0.10,
+    threshold: float = 25.0,
+    purge_s: int = 600,
+) -> list[dict]:
+    """detectors/baseline/BaselineDetector.scala:52-162 — sliding
+    percentile baseline; event when the baseline's change magnitude
+    exceeds ``threshold``. ``percentile`` is a commons-math percent
+    (0.10 => the 0.1th percentile, i.e. a near-minimum baseline)."""
+    return baseline_fold(
+        values, ts_us, fresh_baseline_state(),
+        max_history=max_history, percentile=percentile,
+        threshold=threshold, purge_s=purge_s,
+    )
 
 
 # ----------------------------------------------------------------- loss
@@ -454,33 +494,41 @@ def _scale_2sf_floor(v: int) -> int:
     return (v // q) * q  # python floor-div == BigDecimal FLOOR
 
 
-def mode_events(
+def fresh_mode_state() -> dict:
+    """Externalizable mode-detector state (ModeDetector.scala:54-120
+    checkpointed keyed state): the scaled-value window, its count map,
+    the purge clock and the last-event mode."""
+    return {"history": [], "counts": {}, "last_obs": None,
+            "last_event_val": -5}
+
+
+def mode_fold(
     values: np.ndarray,
     ts_us: np.ndarray,
+    state: dict,
     max_history: int = 30,
     min_frequency: int = 6,
     min_prominence: int = 3,
     threshold: float = 7.5,
     purge_s: int = 60,
 ) -> list[dict]:
-    """detectors/mode/ModeDetector.scala:54-448 — event when the 2-sig-
-    fig-bucketed mode of the last ``max_history`` values changes with
-    sufficient frequency, prominence and magnitude."""
+    """Resumable core of ``mode_events``: continues from (and mutates)
+    ``state`` — see fresh_mode_state()."""
     v = np.asarray(values, dtype=np.float64)
     t = np.asarray(ts_us, dtype=np.int64)
     purge_us = purge_s * 1_000_000
     events: list[dict] = []
-    last_obs: int | None = None
+    last_obs: int | None = state["last_obs"]
     # incremental state: scaled-value window + count map maintained by
     # one add/one evict per point (the previous version rebuilt the
     # whole count dict with a log10/pow per element per point); the
     # count map is exact integers, so mode selection is bit-identical
-    history: deque[int] = deque()  # scaled values, window order
-    counts: dict[int, int] = {}
+    history: deque[int] = deque(state["history"])
+    counts: dict[int, int] = dict(state["counts"])
     UNSET = -5
     primary_val, primary_cnt = -1, -2
     secondary_val, secondary_cnt = -3, -4
-    last_event_val = UNSET
+    last_event_val = state["last_event_val"]
 
     for i in range(v.size):
         ti = int(t[i])
@@ -566,7 +614,31 @@ def mode_events(
                 }
             )
         last_event_val = primary_val
+    state.update(
+        history=list(history), counts=counts, last_obs=last_obs,
+        last_event_val=last_event_val,
+    )
     return events
+
+
+def mode_events(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    max_history: int = 30,
+    min_frequency: int = 6,
+    min_prominence: int = 3,
+    threshold: float = 7.5,
+    purge_s: int = 60,
+) -> list[dict]:
+    """detectors/mode/ModeDetector.scala:54-448 — event when the 2-sig-
+    fig-bucketed mode of the last ``max_history`` values changes with
+    sufficient frequency, prominence and magnitude."""
+    return mode_fold(
+        values, ts_us, fresh_mode_state(),
+        max_history=max_history, min_frequency=min_frequency,
+        min_prominence=min_prominence, threshold=threshold,
+        purge_s=purge_s,
+    )
 
 
 # -------------------------------------------------------------- distdiff
@@ -613,27 +685,35 @@ def _dist_diff(
     return result * math.sqrt(wl * wl / (wl * 2.0))
 
 
-def distdiff_events(
+def fresh_distdiff_state() -> dict:
+    """Externalizable distdiff-detector state (DistDiffDetector.scala:
+    54-101 checkpointed keyed state): the two adjacent value windows,
+    their timestamps, the purge clock and the hysteresis latch."""
+    return {"recents": [], "long_recents": [], "times": [],
+            "in_event": False, "last_obs": None}
+
+
+def distdiff_fold(
     values: np.ndarray,
     ts_us: np.ndarray,
+    state: dict,
     recents_count: int = 20,
     minimum_change: float = 1.05,
     z_threshold: float = 5.0,
     drop_extreme_n: int = 2,
     purge_s: int = 1200,
 ) -> list[dict]:
-    """DistDiffDetector.scala:54-247 — distribution difference between
-    the last ``recents_count`` values and the previous ``recents_count``,
-    with in-event hysteresis (exit at z/2)."""
+    """Resumable core of ``distdiff_events``: continues from (and
+    mutates) ``state`` — see fresh_distdiff_state()."""
     v = np.asarray(values, dtype=np.float64)
     t = np.asarray(ts_us, dtype=np.int64)
     purge_us = purge_s * 1_000_000
     events: list[dict] = []
-    last_obs: int | None = None
-    recents: list[float] = []
-    long_recents: list[float] = []
-    times: list[int] = []
-    in_event = False
+    last_obs: int | None = state["last_obs"]
+    recents: list[float] = list(state["recents"])
+    long_recents: list[float] = list(state["long_recents"])
+    times: list[int] = list(state["times"])
+    in_event = state["in_event"]
     for i in range(v.size):
         x, ti = float(v[i]), int(t[i])
         if last_obs is None or ti - last_obs > purge_us:
@@ -672,9 +752,19 @@ def distdiff_events(
             old_sum, rec_sum = sum(old), sum(rec)
             old_range = max(old) - min(old)
             rec_range = max(rec) - min(rec)
-            change = (
-                old_sum / rec_sum if old_sum > rec_sum else rec_sum / old_sum
+            # Scala Double division: x/0.0 is ±Inf and 0.0/0.0 is NaN
+            # (DistDiffDetector.scala:176) — Python raises instead, so
+            # mirror IEEE-754 explicitly for the zero-sum edge
+            hi, lo = (
+                (old_sum, rec_sum) if old_sum > rec_sum
+                else (rec_sum, old_sum)
             )
+            if lo != 0.0:
+                change = hi / lo
+            elif hi == 0.0:
+                change = math.nan
+            else:
+                change = math.copysign(math.inf, hi)
             if not (
                 change < minimum_change
                 or abs(old_sum - rec_sum) < recents_count
@@ -708,7 +798,31 @@ def distdiff_events(
             in_event = True
         if diff < z_threshold / 2.0:
             in_event = False
+    state.update(
+        recents=recents, long_recents=long_recents, times=times,
+        in_event=in_event, last_obs=last_obs,
+    )
     return events
+
+
+def distdiff_events(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    recents_count: int = 20,
+    minimum_change: float = 1.05,
+    z_threshold: float = 5.0,
+    drop_extreme_n: int = 2,
+    purge_s: int = 1200,
+) -> list[dict]:
+    """DistDiffDetector.scala:54-247 — distribution difference between
+    the last ``recents_count`` values and the previous ``recents_count``,
+    with in-event hysteresis (exit at z/2)."""
+    return distdiff_fold(
+        values, ts_us, fresh_distdiff_state(),
+        recents_count=recents_count, minimum_change=minimum_change,
+        z_threshold=z_threshold, drop_extreme_n=drop_extreme_n,
+        purge_s=purge_s,
+    )
 
 
 # ----------------------------------------------------------- changepoint
@@ -736,9 +850,29 @@ def _cp_with_point(
     return new_mean, new_var
 
 
-def changepoint_events(
+def fresh_changepoint_state() -> dict:
+    """Externalizable changepoint-detector state (the reference's
+    checkpointed keyed state, ChangepointProcessor.scala:56-130): the
+    Bayesian run arrays (newest first), the frozen pre-anomaly snapshot
+    used for outlier rollback, the composite-old baseline, the anomaly
+    counters and the purge/event clocks. Arrays are stored as plain
+    Python lists so the state pickles engine-neutrally; np.asarray of a
+    list round-trips float64 bit-exactly."""
+    return {
+        "mean": [], "var": [], "n": [], "prob": [], "start": [],
+        "normal": None, "composite_old": None,
+        "consecutive_anomalies": 0,
+        "consecutive_normal_after_outlier": 0,
+        "prev_most_likely": 0,
+        "last_event_time": None,
+        "last_obs": None,
+    }
+
+
+def changepoint_fold(
     values: np.ndarray,
     ts_us: np.ndarray,
+    state: dict,
     max_history: int = 60,
     trigger_count: int = 40,
     ignore_outlier_normal_count: int = 1,
@@ -746,15 +880,8 @@ def changepoint_events(
     minimum_event_interval_s: int = 10,
     severity_threshold: int = 30,
 ) -> list[dict]:
-    """Bayesian online changepoint detection (Adams & MacKay style),
-    ChangepointProcessor.scala:240-364 + ChangepointLogic.scala:107-178.
-    Run state is held in parallel NumPy arrays (newest first); per-point
-    updates (pdf, withPoint, squash, normalise) are vectorized over runs.
-
-    NormalDistribution.withPoint quirks reproduced: a run's ``n`` equals
-    its positional index after the update (ChangepointLogic.scala:115),
-    and the first mean update fakes n=0 (NormalDistribution.scala:81-88).
-    """
+    """Resumable core of ``changepoint_events``: continues from (and
+    mutates) ``state`` — see fresh_changepoint_state()."""
     v = np.asarray(values, dtype=np.float64)
     t = np.asarray(ts_us, dtype=np.int64)
     purge_us = purge_s * 1_000_000
@@ -762,11 +889,11 @@ def changepoint_events(
     events: list[dict] = []
 
     # run arrays, index 0 = newest
-    mean = np.empty(0)
-    var = np.empty(0)
-    n = np.empty(0, dtype=np.int64)
-    prob = np.empty(0)
-    start = np.empty(0, dtype=np.int64)
+    mean = np.asarray(state["mean"], dtype=np.float64)
+    var = np.asarray(state["var"], dtype=np.float64)
+    n = np.asarray(state["n"], dtype=np.int64)
+    prob = np.asarray(state["prob"], dtype=np.float64)
+    start = np.asarray(state["start"], dtype=np.int64)
 
     def runs_update(y: float, ti: int):
         nonlocal mean, var, n, prob, start
@@ -805,13 +932,26 @@ def changepoint_events(
             return int(np.argmax(arr[:-1]))
         return 0
 
-    last_obs: int | None = None
-    normal: tuple | None = None  # frozen copy of run arrays
-    composite_old = None  # (mean, start)
-    consecutive_anomalies = 0
-    consecutive_normal_after_outlier = 0
-    prev_most_likely = 0
-    last_event_time: int | None = None
+    last_obs: int | None = state["last_obs"]
+    # frozen copy of run arrays (tuple of 5 ndarrays) or None
+    normal: tuple | None = (
+        None if state["normal"] is None else tuple(
+            np.asarray(a, dtype=d) for a, d in zip(
+                state["normal"],
+                (np.float64, np.float64, np.int64, np.float64, np.int64),
+            )
+        )
+    )
+    composite_old = (
+        None if state["composite_old"] is None
+        else tuple(state["composite_old"])
+    )  # (mean, start)
+    consecutive_anomalies = state["consecutive_anomalies"]
+    consecutive_normal_after_outlier = (
+        state["consecutive_normal_after_outlier"]
+    )
+    prev_most_likely = state["prev_most_likely"]
+    last_event_time: int | None = state["last_event_time"]
 
     def reset(ti: int) -> None:
         nonlocal mean, var, n, prob, start, normal, composite_old
@@ -903,7 +1043,49 @@ def changepoint_events(
                 reset(ti)
                 continue
             consecutive_anomalies = 0
+    state.update(
+        mean=mean.tolist(), var=var.tolist(), n=n.tolist(),
+        prob=prob.tolist(), start=start.tolist(),
+        normal=None if normal is None else tuple(
+            a.tolist() for a in normal
+        ),
+        composite_old=composite_old,
+        consecutive_anomalies=consecutive_anomalies,
+        consecutive_normal_after_outlier=consecutive_normal_after_outlier,
+        prev_most_likely=prev_most_likely,
+        last_event_time=last_event_time,
+        last_obs=last_obs,
+    )
     return events
+
+
+def changepoint_events(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    max_history: int = 60,
+    trigger_count: int = 40,
+    ignore_outlier_normal_count: int = 1,
+    purge_s: int = 60,
+    minimum_event_interval_s: int = 10,
+    severity_threshold: int = 30,
+) -> list[dict]:
+    """Bayesian online changepoint detection (Adams & MacKay style),
+    ChangepointProcessor.scala:240-364 + ChangepointLogic.scala:107-178.
+    Run state is held in parallel NumPy arrays (newest first); per-point
+    updates (pdf, withPoint, squash, normalise) are vectorized over runs.
+
+    NormalDistribution.withPoint quirks reproduced: a run's ``n`` equals
+    its positional index after the update (ChangepointLogic.scala:115),
+    and the first mean update fakes n=0 (NormalDistribution.scala:81-88).
+    """
+    return changepoint_fold(
+        values, ts_us, fresh_changepoint_state(),
+        max_history=max_history, trigger_count=trigger_count,
+        ignore_outlier_normal_count=ignore_outlier_normal_count,
+        purge_s=purge_s,
+        minimum_event_interval_s=minimum_event_interval_s,
+        severity_threshold=severity_threshold,
+    )
 
 
 def spike_details(
@@ -1039,4 +1221,38 @@ DETECTORS = {
     "mode": mode_events,
     "distdiff": distdiff_events,
     "changepoint": changepoint_events,
+}
+
+
+def _loss_fold_adapter(values, ts_us, state, **params) -> list[dict]:
+    """loss_fold takes the window list directly (typed streaming state);
+    adapt it to the (state dict, kw params) fold contract and to the
+    NaN-is-lossy value convention the batch path uses."""
+    evs = loss_fold(
+        np.isnan(np.asarray(values, dtype=np.float64)),
+        np.asarray(ts_us, dtype=np.int64),
+        state["recents"],
+        params.get("max_history", 30),
+        params.get("loss_count", 10),
+        params.get("consecutive_count", 5),
+    )
+    return evs
+
+
+def fresh_loss_state() -> dict:
+    return {"recents": []}
+
+
+# (fresh_state, fold) per detector — every sequential detector is a
+# resumable fold, so ALL of them can run as streaming stateful operators
+# (streaming/rollup_stream.stream_detect) with bit-exact resume, the
+# analogue of the reference's Kryo-checkpointed keyed state
+# (reference: detectors/* KeyedProcessFunction state; KryoCodec.scala)
+DETECTOR_FOLDS = {
+    "baseline": (fresh_baseline_state, baseline_fold),
+    "spike": (fresh_spike_state, spike_fold),
+    "loss": (fresh_loss_state, _loss_fold_adapter),
+    "mode": (fresh_mode_state, mode_fold),
+    "distdiff": (fresh_distdiff_state, distdiff_fold),
+    "changepoint": (fresh_changepoint_state, changepoint_fold),
 }

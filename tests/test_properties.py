@@ -205,3 +205,51 @@ def test_spike_fold_split_equals_whole(series, split, lag, thr, infl):
         {k: v for k, v in e.items() if k != "idx"} for e in evs
     ]
     assert strip(a) + strip(b) == strip(whole)
+
+
+DETECTOR_FOLD_PARAMS = {
+    "baseline": dict(max_history=5, percentile=20.0, threshold=0,
+                     purge_s=10**6),
+    "spike": dict(lag=4, threshold=1.5, influence=0.2, purge_s=10**6),
+    "loss": dict(max_history=6, loss_count=2, consecutive_count=2),
+    "mode": dict(max_history=5, min_frequency=2, min_prominence=1,
+                 threshold=0.5, purge_s=10**6),
+    "distdiff": dict(recents_count=4, minimum_change=1.0,
+                     z_threshold=0.5, drop_extreme_n=1, purge_s=10**6),
+    "changepoint": dict(max_history=8, trigger_count=2,
+                        ignore_outlier_normal_count=1, purge_s=10**6,
+                        minimum_event_interval_s=0, severity_threshold=0),
+}
+
+
+@given(st.sampled_from(sorted(DETECTOR_FOLD_PARAMS)), value_series(),
+       st.integers(1, 79))
+@settings(max_examples=300, deadline=None)
+def test_any_detector_fold_split_equals_whole(detector, series, split):
+    """EVERY detector fold, resumed from a pickle-round-tripped state
+    dict, must reproduce the whole-series fold exactly — the invariant
+    behind the generic streaming wrapper (stream_detect), including the
+    blob-state serialization it uses."""
+    import pickle
+
+    from streamevmon_spark.functions.detectors import (
+        DETECTOR_FOLDS,
+        DETECTORS,
+    )
+
+    vals, ts = series
+    params = DETECTOR_FOLD_PARAMS[detector]
+    split = min(split, vals.size)
+    if detector == "loss":
+        whole = DETECTORS[detector](np.isnan(vals), ts, **params)
+    else:
+        whole = DETECTORS[detector](vals, ts, **params)
+    fresh, fold = DETECTOR_FOLDS[detector]
+    st_ = fresh()
+    a = fold(vals[:split], ts[:split], st_, **params)
+    st_ = pickle.loads(pickle.dumps(st_, protocol=4))  # streaming codec
+    b = fold(vals[split:], ts[split:], st_, **params)
+    strip = lambda evs: [
+        {k: v for k, v in e.items() if k != "idx"} for e in evs
+    ]
+    assert strip(a) + strip(b) == strip(whole)

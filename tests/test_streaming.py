@@ -103,3 +103,53 @@ def test_stream_detect_spike_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(
         g.astype({"severity": "int64"}), x.astype({"severity": "int64"})
     )
+
+
+def _assert_stream_equals_batch(spark, sf_dir, detector, shift=False, **kw):
+    from streamevmon_spark.operators.detect import detect
+
+    path = _input_dir(spark, sf_dir)
+    name = f"sg_{uuid.uuid4().hex[:8]}"
+    stream_in = S.stream_transcripts(spark, path, max_files_per_trigger=1)
+    batch_in = load_transcripts(spark, sf_dir)
+    if shift:
+        shifted = (
+            F.when(F.col("turn_idx") < 8, F.lit(10000.0) + F.col("value"))
+            .otherwise(F.lit(40000.0) + F.col("value"))
+        )
+        stream_in = stream_in.withColumn("value", shifted)
+        batch_in = batch_in.withColumn("value", shifted)
+    S.run_available_now(
+        S.stream_detect(stream_in, detector, **kw), name,
+        output_mode="append",
+    )
+    got = spark.table(name)
+    exp = detect(batch_in, detector, **kw)
+    cols = ["event_type", "conv_id", "tool", "role", "severity", "ts",
+            "detection_latency_us", "description"]
+    import pandas as pd
+
+    g, x = _sorted_pdf(got, cols), _sorted_pdf(exp, cols)
+    assert len(x) > 0
+    pd.testing.assert_frame_equal(
+        g.astype({"severity": "int64"}), x.astype({"severity": "int64"})
+    )
+
+
+def test_stream_detect_generic_mode_equals_batch(spark, sf_dir):
+    """The generic pickled-state streaming wrapper must equal the batch
+    detector — mode's count-map state crosses micro-batches."""
+    _assert_stream_equals_batch(
+        spark, sf_dir, "mode", max_history=5, min_frequency=1,
+        min_prominence=0, threshold=0.1, purge_s=10**6,
+    )
+
+
+def test_stream_detect_generic_changepoint_equals_batch(spark, sf_dir):
+    """Bayesian run arrays + rollback snapshot cross micro-batches via
+    the pickled blob state; drained output equals the batch kernel."""
+    _assert_stream_equals_batch(
+        spark, sf_dir, "changepoint", shift=True, max_history=8,
+        trigger_count=2, minimum_event_interval_s=0,
+        severity_threshold=20, purge_s=10**6,
+    )
