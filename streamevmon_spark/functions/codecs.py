@@ -118,13 +118,30 @@ def _pack_fields(
         w2 >= _U64(64), _U64(0xFFFFFFFFFFFFFFFF), (_ONE << w2) - _ONE
     )
     vals2 &= mask
-    # expand to a flat bit array: bit j of the stream belongs to field
-    # fid[j] and has significance ends2[fid]-1-j (MSB first)
-    fid = np.repeat(np.arange(len(vals2)), widths2)
-    idx = np.arange(total, dtype=np.int64)
-    shift = (ends2[fid] - 1 - idx).astype(np.uint64)
-    bits = ((vals2[fid] >> shift) & _ONE).astype(np.uint8)
-    buf = np.packbits(bits).tobytes()
+    # word-scatter packing: each field lands in at most two uint64
+    # words of the output stream (bit 63 of word 0 = first stream bit),
+    # OR-accumulated with ufunc.at. All temporaries are O(n_fields),
+    # NOT O(total_bits) — the previous flat bit-array expansion
+    # allocated several total_bits-sized arrays, which at ~55 bits/value
+    # dominated encode wall time (fresh-page faults scale with bytes
+    # touched, and 100 TB runs care about memory bandwidth regardless)
+    keep = widths2 > 0
+    v = vals2[keep]
+    w = widths2[keep]
+    s = (ends2[keep] - w).astype(np.int64)  # start bit of each field
+    wi = s >> 6
+    end_in = (s & 63) + w  # end bit within the first word (1..127)
+    spill = end_in > 64
+    sh1 = np.clip(64 - end_in, 0, 63).astype(np.uint64)
+    rs1 = np.clip(end_in - 64, 0, 63).astype(np.uint64)
+    part1 = np.where(spill, v >> rs1, v << sh1)
+    n_words = (total + 63) // 64
+    words = np.zeros(n_words, dtype=np.uint64)
+    np.bitwise_or.at(words, wi, part1)
+    if spill.any():
+        sh2 = (np.uint64(128) - end_in[spill].astype(np.uint64))
+        np.bitwise_or.at(words, wi[spill] + 1, v[spill] << sh2)
+    buf = words.astype(">u8").tobytes()[: total // 8]
     # per-group byte ends: groups are byte-aligned by construction
     fcount = np.diff(np.concatenate([[0], group_ends_f]))
     ends_with_pad = np.cumsum(fcount + 1)
@@ -301,23 +318,33 @@ def dod_encode(ts_us: np.ndarray) -> bytes:
 
 
 class _BitReader:
-    """Bit cursor over an unpacked bit array (np.unpackbits once per
-    blob; per-field extraction is a tiny dot product, not per-bit
-    Python)."""
+    """Bit cursor over big-endian uint64 words: each read() touches at
+    most two Python ints — O(1) per field, not O(width) per bit (the
+    per-bit loop dominated decode wall time)."""
 
-    __slots__ = ("bits", "pos")
+    __slots__ = ("words", "pos")
 
     def __init__(self, data: bytes) -> None:
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        npad = (-len(data)) % 8
+        if npad:
+            data = data + b"\x00" * npad
+        # one C pass; .tolist() -> Python ints so the hot loop does
+        # native int shifts with no numpy scalar boxing
+        self.words = np.frombuffer(data, dtype=">u8").tolist()
         self.pos = 0
 
     def read(self, width: int) -> int:
         p = self.pos
         self.pos = p + width
-        out = 0
-        for b in self.bits[p : p + width]:
-            out = (out << 1) | int(b)
-        return out
+        wi = p >> 6
+        off = p & 63
+        end = off + width
+        if end <= 64:
+            return (self.words[wi] >> (64 - end)) & ((1 << width) - 1)
+        hi_bits = 64 - off
+        lo_bits = width - hi_bits
+        hi = self.words[wi] & ((1 << hi_bits) - 1)
+        return (hi << lo_bits) | (self.words[wi + 1] >> (64 - lo_bits))
 
 
 def _as_i64(v: int) -> int:
