@@ -171,7 +171,7 @@ def gorilla_encode_many(
     bits = a.view(np.uint64)
     gid = _group_ids(n, starts)
     is_start = np.zeros(n, dtype=bool)
-    is_start[starts] = True
+    is_start[starts[starts < n]] = True  # empty trailing group -> no row
 
     x = np.empty(n, dtype=np.uint64)
     x[0] = 0

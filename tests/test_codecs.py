@@ -94,3 +94,48 @@ def test_gorilla_property_roundtrip(xs):
 )
 def test_dod_property_roundtrip(xs):
     assert _rt_t(xs).tolist() == xs
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            max_size=40,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_gorilla_encode_many_equals_per_group(groups):
+    """The batched encoder's per-group blobs (word-scatter packing +
+    byte-aligned group slicing) must equal encoding each group alone."""
+    from streamevmon_spark.functions.codecs import gorilla_encode_many
+
+    flat = np.concatenate(
+        [np.asarray(g, dtype=np.float64) for g in groups]
+    ) if any(len(g) for g in groups) else np.empty(0)
+    starts = np.cumsum([0] + [len(g) for g in groups[:-1]]).astype(np.int64)
+    many = gorilla_encode_many(flat, starts)
+    for g, blob in zip(groups, many):
+        assert blob == gorilla_encode(np.asarray(g, dtype=np.float64))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62), max_size=40
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_dod_encode_many_equals_per_group(groups):
+    from streamevmon_spark.functions.codecs import dod_encode_many
+
+    flat = np.concatenate(
+        [np.asarray(g, dtype=np.int64) for g in groups]
+    ) if any(len(g) for g in groups) else np.empty(0, dtype=np.int64)
+    starts = np.cumsum([0] + [len(g) for g in groups[:-1]]).astype(np.int64)
+    many = dod_encode_many(flat, starts)
+    for g, blob in zip(groups, many):
+        assert blob == dod_encode(np.asarray(g, dtype=np.int64))
