@@ -502,6 +502,29 @@ def _q_stream_detect_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: every click event carries the latest
+    error state (ts + value) for the same user as of the click time —
+    single-shuffle union+window as-of join, checked against DuckDB's
+    native ASOF JOIN."""
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.enrich import asof_enrich
+    from streamevmon_spark.sources.measurements import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    return asof_enrich(
+        clicks, errors, ["user_id"], fact_ts="ts", dim_ts="ts",
+        payload_cols=["err_value"], dim_ts_out="err_ts",
+    ).withColumnRenamed("asof_err_value", "err_value")
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.operators.curate import curate_corpus
     from streamevmon_spark.operators.similarity import _dot
@@ -790,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join-like operators (broadcast enrichment, positional zip)
         "enrich_meta": _q_enrich_meta,
         "zip_streams": _q_zip_streams,
+        # point-in-time (as-of) enrichment — union+window, one shuffle
+        "asof_enrich": _q_asof_enrich,
         "gapfill_locf_1h": _q_gapfill("locf"),
         "gapfill_interp_1h": _q_gapfill("interp"),
         "gapfill_pandas_interp_1h": _q_gapfill_pandas,
@@ -933,6 +958,16 @@ def oracle_sql() -> dict[str, str]:
         "event_line_protocol": oracles.event_line_protocol_oracle(100.0),
         "enrich_meta": oracles.enrich_meta_oracle(),
         "zip_streams": oracles.zip_streams_oracle("click", "view"),
+        # DuckDB's native ASOF JOIN is the independent as-of semantics
+        "asof_enrich": """
+            SELECT c.user_id, c.ts, c.event_id,
+                   e.ts AS err_ts, e.value AS err_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'error') e
+              ON c.user_id = e.user_id AND c.ts >= e.ts
+        """,
         "gapfill_locf_1h": oracles.gapfill_oracle("1h", "locf", 7200),
         "gapfill_interp_1h": oracles.gapfill_oracle("1h", "interp", 7200),
         "gapfill_pandas_interp_1h": oracles.gapfill_oracle(

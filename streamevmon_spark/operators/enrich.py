@@ -86,3 +86,77 @@ def zip_streams(
     return numbered(left, left_prefix).join(
         numbered(right, right_prefix), "__zip_idx"
     ).withColumnRenamed("__zip_idx", "zip_idx")
+
+
+def asof_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    fact_ts: str = "ts",
+    dim_ts: str = "ts",
+    payload_cols: list[str] | None = None,
+    dim_ts_out: str = "asof_ts",
+) -> DataFrame:
+    """As-of (point-in-time) enrichment: each fact row gets the payload
+    of the LATEST dim row with the same key and dim_ts <= fact_ts —
+    the batch semantics of the reference's periodically-refreshed
+    metadata lookup (reference: measurements/MeasurementMetaExtractor
+    .scala:69-131 caches "the metadata state current at processing
+    time"; over a historical table the state current at each row's
+    EVENT time is the faithful replay).
+
+    Scale shape: tag + union both inputs, one hash-partition on the key,
+    one ordered window pass with last(ignorenulls) — a single shuffle,
+    whole-stage codegen end-to-end, no range-join explosion and no
+    broadcast (the dim side may be as large as the facts). Ties at
+    equal timestamps resolve dim-before-fact, so a fact at exactly
+    dim_ts sees that dim row (ASOF >= semantics, matching DuckDB's
+    ASOF JOIN used as the oracle).
+    """
+    payload_cols = payload_cols or [
+        c for c in dim.columns if c not in (*key_cols, dim_ts)
+    ]
+    fact_cols = [
+        c for c in facts.columns if c not in (*key_cols, fact_ts)
+    ]
+    f = facts.select(
+        *key_cols,
+        F.col(fact_ts).alias("__t"),
+        F.lit(1).alias("__is_fact"),
+        *[F.col(c) for c in fact_cols],
+        F.lit(None).cast(
+            dim.schema[dim_ts].dataType
+        ).alias(f"__d_{dim_ts}"),
+        *[
+            F.lit(None).cast(dim.schema[c].dataType).alias(f"__d_{c}")
+            for c in payload_cols
+        ],
+    )
+    d = dim.select(
+        *key_cols,
+        F.col(dim_ts).alias("__t"),
+        F.lit(0).alias("__is_fact"),
+        *[F.lit(None).cast(f.schema[c].dataType).alias(c) for c in fact_cols],
+        F.col(dim_ts).alias(f"__d_{dim_ts}"),
+        *[F.col(c).alias(f"__d_{c}") for c in payload_cols],
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__t", "__is_fact")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = f.unionByName(d).select(
+        "*",
+        F.last(f"__d_{dim_ts}", ignorenulls=True).over(w).alias(dim_ts_out),
+        *[
+            F.last(f"__d_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return filled.where(F.col("__is_fact") == 1).select(
+        *key_cols,
+        F.col("__t").alias(fact_ts),
+        *fact_cols,
+        dim_ts_out,
+        *[f"asof_{c}" for c in payload_cols],
+    )

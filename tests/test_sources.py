@@ -127,3 +127,32 @@ def test_parse_rtts_edge_cases(spark):
     )
     got = [r.rtts for r in parse_rtts(df).collect()]
     assert got == [[], [308], [1, None, 3]]
+
+
+def test_asof_enrich_semantics(spark):
+    """As-of join: latest dim payload with dim_ts <= fact_ts per key;
+    equal timestamps match (>= semantics); facts before any dim row or
+    with an absent key get NULLs — mirroring DuckDB ASOF LEFT JOIN."""
+    from streamevmon_spark.operators.enrich import asof_enrich
+
+    facts = spark.createDataFrame(
+        [("a", 5, "f1"), ("a", 10, "f2"), ("a", 20, "f3"),
+         ("b", 10, "f4"), ("c", 10, "f5")],
+        "k string, ts long, tag string",
+    )
+    dim = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 15, 2.0), ("b", 11, 3.0)],
+        "k string, ts long, payload double",
+    )
+    got = {
+        (r.k, r.ts): (r.asof_ts, r.asof_payload)
+        for r in asof_enrich(facts, dim, ["k"], fact_ts="ts",
+                             dim_ts="ts").collect()
+    }
+    assert got == {
+        ("a", 5): (None, None),       # before any dim row
+        ("a", 10): (10, 1.0),         # equal ts matches
+        ("a", 20): (15, 2.0),         # latest of the two
+        ("b", 10): (None, None),      # dim row is later
+        ("c", 10): (None, None),      # key absent from dim
+    }
