@@ -5,6 +5,7 @@ tests, reference: checkpointing/NoDependencyCheckpointingTests.scala)."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import functions as F
@@ -153,3 +154,41 @@ def test_stream_detect_generic_changepoint_equals_batch(spark, sf_dir):
         trigger_count=2, minimum_event_interval_s=0,
         severity_threshold=20, purge_s=10**6,
     )
+
+
+def test_stream_rollup_sink_checkpoint_resume(spark, sf_dir, tmp_path):
+    """Kill-and-restart semantics via Spark's streaming checkpoint: run
+    the sink job on half the input files, then drop in the rest and
+    restart with the SAME checkpoint — only the new files are
+    processed (restored source offsets + window state), and the final
+    sink equals the batch engine's rollup of the whole input."""
+    import shutil
+
+    import pandas as pd
+
+    src = _input_dir(spark, sf_dir)
+    staged = tmp_path / "staged_in"
+    staged.mkdir()
+    parts = sorted(
+        f for f in os.listdir(src)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    half = len(parts) // 2
+    for f in parts[:half]:
+        shutil.copy2(os.path.join(src, f), staged / f)
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "ckpt")
+    S.stream_rollup_to_sink(spark, str(staged), out, ckpt, tier="1m")
+    n_first = spark.read.parquet(out).count()
+    for f in parts[half:]:
+        shutil.copy2(os.path.join(src, f), staged / f)
+    S.stream_rollup_to_sink(spark, str(staged), out, ckpt, tier="1m")
+
+    got = spark.read.parquet(out)
+    exp = rollup_tier(load_transcripts(spark, sf_dir), "1m").select(
+        "conv_id", "tool", "role", "window_start", "turn_count",
+        "lossy_count", "val_avg", "activity_rate",
+    )
+    cols = exp.columns
+    assert n_first < exp.count()  # first run really was partial
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(exp, cols))
