@@ -896,6 +896,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_docs("dedup", "simhash_fingerprints"),
         "dedup_simhash_pairs": _q_docs("dedup", "simhash_pairs",
                                        max_hamming=6),
+        # near-dup CLUSTERS: LSH pairs -> connected components -> one
+        # canonical doc per component (pairs alone under-delete because
+        # near-dup is not transitive)
+        "dedup_clusters": _q_docs("dedup", "dedup_clusters",
+                                  threshold=0.2),
+        # deterministic (hash-keyed, engine-portable) sampling + text
+        # normalization — reproducible corpus curation primitives
+        "sample_hash": _q_docs("sampling", "sample_hash", rate=0.2),
+        "sample_stratified": _q_docs(
+            "sampling", "sample_stratified",
+            rates={"en": 0.5, "de": 1.0}, default_rate=0.1,
+        ),
+        "sample_topk": _q_docs("sampling", "sample_topk_per_stratum",
+                               k=25),
+        "text_normalize": _q_docs("sampling", "text_normalize"),
         # training-data pipeline: similarity search over embeddings
         "ann_cosine_topk": _q_embs("cosine_topk", n_queries=10, k=5),
         "embedding_neardup": _q_embs("embedding_neardup_pairs",
@@ -1071,6 +1086,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": docs_oracles.minhash_lsh_oracle(0.2),
         "dedup_simhash": docs_oracles.simhash_oracle(),
         "dedup_simhash_pairs": docs_oracles.simhash_pairs_oracle(6),
+        "dedup_clusters": docs_oracles.dedup_clusters_oracle(0.2),
+        "sample_hash": docs_oracles.sample_hash_oracle(0.2),
+        "sample_stratified": docs_oracles.sample_stratified_oracle(
+            {"en": 0.5, "de": 1.0}, 0.1
+        ),
+        "sample_topk": docs_oracles.sample_topk_oracle(25),
+        "text_normalize": docs_oracles.text_normalize_oracle(),
         "ann_cosine_topk": docs_oracles.cosine_topk_oracle(10, 5),
         "embedding_neardup": docs_oracles.embedding_neardup_oracle(0.4),
         "embedding_neardup_lsh": docs_oracles.embedding_neardup_oracle(0.4),

@@ -501,3 +501,102 @@ SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
         {frame_bytes})) AS frame_md5
 FROM f
 """
+
+
+# --------------------------------------------------------------------------
+# sampling / normalization / clustering (operators/sampling.py, dedup.py)
+
+def _sample_key_sql(seed: str = "s1") -> str:
+    return hex32_sql(f"concat('{seed}', ':', CAST(doc_id AS STRING))")
+
+
+def sample_hash_oracle(rate: float, seed: str = "s1") -> str:
+    cutoff = int(rate * (1 << 32))
+    return f"""
+SELECT doc_id, text, lang, source, n_chars,
+       CAST({_sample_key_sql(seed)} AS BIGINT) AS sample_key
+FROM documents
+WHERE {_sample_key_sql(seed)} < {cutoff}
+"""
+
+
+def sample_stratified_oracle(
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    seed: str = "s1",
+) -> str:
+    whens = " ".join(
+        f"WHEN {stratum_col} = '{v}' THEN {int(r * (1 << 32))}"
+        for v, r in sorted(rates.items())
+    )
+    cutoff = f"CASE {whens} ELSE {int(default_rate * (1 << 32))} END"
+    return f"""
+SELECT doc_id, text, lang, source, n_chars,
+       CAST({_sample_key_sql(seed)} AS BIGINT) AS sample_key
+FROM documents
+WHERE {_sample_key_sql(seed)} < {cutoff}
+"""
+
+
+def sample_topk_oracle(
+    k: int, stratum_col: str = "lang", seed: str = "s1"
+) -> str:
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST({_sample_key_sql(seed)} AS BIGINT) AS sample_key
+    FROM documents
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY {stratum_col} ORDER BY sample_key, doc_id
+    ) AS INTEGER) AS rank
+    FROM keyed
+)
+SELECT * FROM ranked WHERE rank <= {k}
+"""
+
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def text_normalize_oracle() -> str:
+    return f"""
+WITH n AS (SELECT doc_id, text, {_NORM} AS norm_text FROM documents)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_md5,
+       norm_text != text AS changed,
+       CAST(CASE WHEN length(norm_text) = 0 THEN 0
+            ELSE len(string_split(norm_text, ' ')) END AS BIGINT)
+           AS norm_tokens
+FROM n
+"""
+
+
+def dedup_clusters_oracle(threshold: float = 0.2) -> str:
+    """Transitive closure of the minhash-LSH near-dup pair graph via
+    recursive CTE; cluster label = min reachable doc_id (the exact
+    fixpoint operators/dedup.dedup_clusters reaches by min-label
+    propagation)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({minhash_lsh_oracle(threshold)}) q
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(doc, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.doc, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT doc AS doc_id,
+       CAST(min(r) AS BIGINT) AS cluster_id,
+       min(r) = doc AS is_canonical
+FROM reach GROUP BY doc
+"""

@@ -233,6 +233,49 @@ def minhash_lsh_pairs(
     ).drop("ni")
 
 
+def dedup_clusters(
+    docs: DataFrame, threshold: float = 0.2
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: what a corpus build actually ships.
+    Pairwise near-dup relations are not transitive, so "drop one of each
+    pair" under-deletes; the standard resolution is connected components
+    over the pair graph, keep one canonical doc per component.
+
+    Pipeline: minhash_lsh_pairs (banded candidates + exact-Jaccard
+    verify) -> undirected connected components by iterative min-label
+    propagation (operators/graph.connected_components — O(diameter)
+    co-partitioned hash joins, no driver-side graph) -> left-join back
+    onto all docs so singletons become their own cluster.
+
+    Returns (doc_id, cluster_id, is_canonical): cluster_id is the min
+    doc_id reachable through near-dup pairs; is_canonical marks the one
+    row per cluster a dedup pass would keep. Scale: near-dup clusters in
+    real corpora have tiny diameter (dup families are dense), so the
+    propagation loop converges in a handful of rounds; each round is a
+    shuffle join on doc_id with AQE handling residual skew.
+    """
+    from streamevmon_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(docs, threshold)
+    edges = pairs.select(
+        F.col("doc_a").alias("src_uid"), F.col("doc_b").alias("dst_uid")
+    )
+    comp = connected_components(edges).select(
+        F.col("uid").alias("doc_id"), "component"
+    )
+    out = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+    return out.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """32-bit SimHash over (non-distinct) tokens: bit b of the
     fingerprint is 1 iff sum over tokens of (+1 if bit b of hex32(token)
