@@ -295,6 +295,34 @@ def connected_components(
         )
         .distinct()
     )
+    small = _collect_small_sym(sym)
+    if small is not None:
+        # driver-local union-find: same fixpoint (min reachable label)
+        # without max_iters join rounds. See SMALL_GRAPH_EDGES.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in small:
+            for n in (row.a, row.b):
+                if n not in parent:
+                    parent[n] = n
+            ra, rb = find(row.a), find(row.b)
+            if ra != rb:
+                # union by min label keeps the exact contract
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        out_rows = [(n, find(n)) for n in parent]
+        uid_t = edges.schema["src_uid"].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            out_rows, schema=f"uid {uid_t}, component {uid_t}"
+        )
     # localCheckpoint truncates lineage each round — iterative DataFrame
     # algorithms otherwise stack O(iters) nested joins into one plan,
     # which blows analysis/codegen long before the data does.
@@ -499,6 +527,23 @@ def apply_merges(edges: DataFrame, merges: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Below this many (symmetrized, distinct) edges an iterative graph
+# algorithm runs on the driver instead of as join rounds. Rationale =
+# the broadcast-join rationale: each distributed round costs several
+# scheduler round-trips, so a bounded graph (topology graphs are
+# bounded by distinct hosts, not by measurement volume) is orders of
+# magnitude faster local; anything larger takes the join-round path.
+SMALL_GRAPH_EDGES = 200_000
+
+
+def _collect_small_sym(sym: DataFrame) -> list | None:
+    """The symmetrized edge list if it is driver-small, else None.
+    limit(n+1) bounds the probe — Spark stops the scan at n+1 rows, so
+    a 10^12-edge relation never materializes to answer 'is it small'."""
+    probe = sym.limit(SMALL_GRAPH_EDGES + 1).collect()
+    return None if len(probe) > SMALL_GRAPH_EDGES else probe
+
+
 def bfs_distances(
     edges: DataFrame, roots: DataFrame, max_depth: int = 10
 ) -> DataFrame:
@@ -507,7 +552,10 @@ def bfs_distances(
     Frontier-join rounds with a visited set, early exit when the
     frontier drains — the distributed replacement for per-pair
     AStarShortestPath (reference: DistanceBetweenStreams.scala:72-86;
-    an undirected view of the graph, :73)."""
+    an undirected view of the graph, :73). Graphs under
+    SMALL_GRAPH_EDGES run a driver-local BFS over the collected edge
+    list (identical distances — BFS levels are unique), skipping
+    max_depth scheduler rounds."""
     sym = (
         edges.select(F.col("src_uid").alias("a"), F.col("dst_uid").alias("b"))
         .union(
@@ -516,8 +564,34 @@ def bfs_distances(
             )
         )
         .distinct()
-        .localCheckpoint()  # truncate lineage: reused every round
     )
+    small = _collect_small_sym(sym)
+    if small is not None:
+        from collections import deque
+
+        adj: dict = {}
+        for r in small:
+            adj.setdefault(r.a, []).append(r.b)
+        out_rows = []
+        for rr in roots.select("root").distinct().collect():
+            root = rr.root
+            seen = {root: 0}
+            dq = deque([root])
+            while dq:
+                u = dq.popleft()
+                du = seen[u]
+                if du >= max_depth:
+                    continue
+                for v in adj.get(u, ()):
+                    if v not in seen:
+                        seen[v] = du + 1
+                        dq.append(v)
+            out_rows.extend((root, u, d) for u, d in seen.items())
+        uid_t = edges.schema["src_uid"].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            out_rows, schema=f"root {uid_t}, uid {uid_t}, dist int"
+        )
+    sym = sym.localCheckpoint()  # truncate lineage: reused every round
     visited = (
         roots.select(F.col("root"), F.col("root").alias("uid"))
         .distinct()
