@@ -470,6 +470,44 @@ def _q_stream_detect_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_detect_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    path = _stream_input(spark, sf_dir)
+    name = f"q_sdb_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_detect(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            "baseline", max_history=5, percentile=0.1, threshold=10,
+            purge_s=86400,
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
+def _q_stream_detect_distdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    path = _stream_input(spark, sf_dir)
+    name = f"q_sdd_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_detect(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            "distdiff", recents_count=4, drop_extreme_n=0,
+            z_threshold=0.5, minimum_change=1.05, purge_s=86400,
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 def _q_stream_detect_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The generic pickled-blob-state streaming wrapper running the
     Bayesian changepoint kernel (level shift embedded as in
@@ -890,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and changepoint's Bayesian run arrays cross micro-batches
         "stream_detect_mode": _q_stream_detect_mode,
         "stream_detect_changepoint": _q_stream_detect_changepoint,
+        "stream_detect_baseline": _q_stream_detect_baseline,
+        "stream_detect_distdiff": _q_stream_detect_distdiff,
         # multimodal columns (binary payload + typed metadata; decode
         # stubbed behind a deterministic fake — see operators/multimodal)
         "media_metadata": _q_media_metadata,
@@ -1090,6 +1130,13 @@ def oracle_sql() -> dict[str, str]:
                 "(CASE WHEN turn_idx < 8 THEN 10000.0 + value"
                 " ELSE 40000.0 + value END)"
             ),
+        ),
+        "stream_detect_baseline": oracles.baseline_events_oracle(
+            max_history=5, percentile=0.1, threshold=10, purge_s=86400
+        ),
+        "stream_detect_distdiff": oracles.distdiff_events_oracle(
+            recents_count=4, drop_extreme_n=0, z_threshold=0.5,
+            minimum_change=1.05, purge_s=86400,
         ),
         "media_metadata": oracles.media_metadata_oracle(),
         # byte-level fake decode re-derived from the ASCII text column;
