@@ -94,3 +94,47 @@ def test_rollup_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan
     assert "IsNotNull(value)" in plan
     assert "EqualTo(event_type,click)" in plan
+
+
+def test_sampling_plans_are_filter_only(spark):
+    """sample_hash / sample_stratified must compile to a scan + filter —
+    no Exchange anywhere (the reproducibility contract is 'a pure
+    predicate over the scan', so a shuffle appearing here is a plan
+    regression, not a tuning issue)."""
+    from streamevmon_spark.operators.sampling import (
+        sample_hash,
+        sample_stratified,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        sample_hash(docs, 0.2),
+        sample_stratified(docs, {"en": 0.5}, 0.1),
+    ):
+        plan = _executed(df)
+        assert "Exchange" not in plan, plan
+
+
+def test_sample_topk_no_single_stratum_sort(spark):
+    """Exact top-k per stratum: phase 1 must partition by (stratum,
+    bucket) — i.e. the first window sort key set includes the salt —
+    so no task ever sorts a whole stratum."""
+    from streamevmon_spark.operators.sampling import (
+        sample_topk_per_stratum,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _executed(sample_topk_per_stratum(docs, 5, n_buckets=8))
+    # two window stages: the salted local one and the survivors-only
+    # global one
+    assert plan.count("Window") >= 2
+    assert "pmod" in plan  # the salt is part of the first partitioning
+
+
+def test_dedup_clusters_no_cartesian(spark):
+    from streamevmon_spark.operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _executed(dedup_clusters(docs, threshold=0.2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
