@@ -470,6 +470,35 @@ def _q_stream_detect_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_flows_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YamlDagRunner analogue end-to-end: a declarative flows spec
+    (two detectors over one transcripts source, one union sink, plus a
+    deliberately-dead source whose path does not exist — exercising the
+    reference's Lazy dead-source elimination inside the gate) built by
+    plans/flows.build_flows; oracle = UNION ALL of the two detectors'
+    oracles."""
+    from streamevmon_spark.plans.flows import build_flows
+
+    spec = {
+        "sources": [
+            {"name": "turns", "type": "transcripts"},
+            {"name": "unused", "type": "parquet",
+             "path": "/nonexistent/never-read"},
+        ],
+        "detectors": [
+            {"type": "loss", "sources": [{"name": "turns"}],
+             "sinks": ["all_events"],
+             "config": {"loss_count": 3, "consecutive_count": 2}},
+            {"type": "spike", "sources": [{"name": "turns"}],
+             "sinks": ["all_events"],
+             "config": {"lag": 5, "threshold": 2.0, "influence": 0.1,
+                        "purge_s": 86400}},
+        ],
+        "sinks": [{"name": "all_events", "type": "union"}],
+    }
+    return build_flows(spark, spec, sf_dir)["all_events"]
+
+
 def _q_stream_detect_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
@@ -928,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and changepoint's Bayesian run arrays cross micro-batches
         "stream_detect_mode": _q_stream_detect_mode,
         "stream_detect_changepoint": _q_stream_detect_changepoint,
+        "flows_dag": _q_flows_dag,
         "stream_detect_baseline": _q_stream_detect_baseline,
         "stream_detect_distdiff": _q_stream_detect_distdiff,
         # multimodal columns (binary payload + typed metadata; decode
@@ -1130,6 +1160,17 @@ def oracle_sql() -> dict[str, str]:
                 "(CASE WHEN turn_idx < 8 THEN 10000.0 + value"
                 " ELSE 40000.0 + value END)"
             ),
+        ),
+        "flows_dag": (
+            "SELECT * FROM ("
+            + oracles.loss_events_oracle(
+                max_history=30, loss_count=3, consecutive_count=2
+            )
+            + ") UNION ALL SELECT * FROM ("
+            + oracles.spike_events_oracle(
+                lag=5, threshold=2.0, influence=0.1, purge_s=86400
+            )
+            + ")"
         ),
         "stream_detect_baseline": oracles.baseline_events_oracle(
             max_history=5, percentile=0.1, threshold=10, purge_s=86400
