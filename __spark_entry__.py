@@ -1004,6 +1004,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_topk": _q_docs("sampling", "sample_topk_per_stratum",
                                k=25),
         "text_normalize": _q_docs("sampling", "text_normalize"),
+        # corpus assembly: split / vocabulary / contamination / packing
+        "split_corpus": _q_docs("corpus", "split_corpus"),
+        "vocabulary": _q_docs("corpus", "vocabulary", top_k=25),
+        "contamination": _q_docs("corpus", "contamination",
+                                 max_doc_freq=50),
+        "pack_sequences": _q_docs("corpus", "pack_sequences",
+                                  seq_len=256, n_shards=8),
         # training-data pipeline: similarity search over embeddings
         "ann_cosine_topk": _q_embs("cosine_topk", n_queries=10, k=5),
         "embedding_neardup": _q_embs("embedding_neardup_pairs",
@@ -1204,6 +1211,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sample_topk": docs_oracles.sample_topk_oracle(25),
         "text_normalize": docs_oracles.text_normalize_oracle(),
+        "split_corpus": docs_oracles.split_corpus_oracle(),
+        "vocabulary": docs_oracles.vocabulary_oracle(25),
+        "contamination": docs_oracles.contamination_oracle(
+            max_doc_freq=50
+        ),
+        "pack_sequences": docs_oracles.pack_sequences_oracle(
+            seq_len=256, n_shards=8
+        ),
         "ann_cosine_topk": docs_oracles.cosine_topk_oracle(10, 5),
         "embedding_neardup": docs_oracles.embedding_neardup_oracle(0.4),
         "embedding_neardup_lsh": docs_oracles.embedding_neardup_oracle(0.4),

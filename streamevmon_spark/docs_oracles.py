@@ -600,3 +600,121 @@ SELECT doc AS doc_id,
        min(r) = doc AS is_canonical
 FROM reach GROUP BY doc
 """
+
+
+# --------------------------------------------------------------------------
+# corpus assembly (operators/corpus.py)
+
+def split_corpus_oracle(
+    ratios: dict[str, float] | None = None, seed: str = "split1"
+) -> str:
+    ratios = ratios or {"train": 0.9, "val": 0.05, "test": 0.05}
+    key = hex32_sql(f"concat('{seed}', ':', CAST(doc_id AS STRING))")
+    whens, acc = [], 0.0
+    items = list(ratios.items())
+    for name, r in items[:-1]:
+        acc += r
+        whens.append(f"WHEN split_key < {int(acc * (1 << 32))} THEN '{name}'")
+    case = (
+        "CASE " + " ".join(whens) + f" ELSE '{items[-1][0]}' END"
+        if whens
+        else f"'{items[-1][0]}'"
+    )
+    return f"""
+WITH k AS (
+    SELECT doc_id, CAST({key} AS BIGINT) AS split_key FROM documents
+)
+SELECT doc_id, split_key, {case} AS split FROM k
+"""
+
+
+def vocabulary_oracle(top_k: int = 100) -> str:
+    return f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+)
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER)
+           AS rank
+FROM c ORDER BY cnt DESC, token LIMIT {top_k}
+"""
+
+
+def contamination_oracle(
+    benchmark_pred: str = "doc_id % 10 = 0",
+    max_doc_freq: int | None = None,
+) -> str:
+    cap = (
+        f"""
+, dfreq AS (
+    SELECT shingle FROM sh0 GROUP BY shingle
+    HAVING count(*) <= {max_doc_freq}
+),
+shc AS (SELECT s.* FROM sh0 s JOIN dfreq USING (shingle))
+"""
+        if max_doc_freq is not None
+        else ", shc AS (SELECT * FROM sh0)"
+    )
+    return f"""
+WITH sh0 AS (
+    SELECT doc_id, ({benchmark_pred}) AS is_bench,
+           unnest({_SHINGLE_LIST}) AS shingle
+    FROM documents
+){cap},
+train AS (SELECT doc_id, shingle FROM shc WHERE NOT is_bench),
+bench AS (SELECT DISTINCT shingle FROM shc WHERE is_bench),
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+    FROM train GROUP BY doc_id
+),
+hits AS (
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+    FROM train t JOIN bench b USING (shingle) GROUP BY t.doc_id
+)
+SELECT s.doc_id, s.n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+           / CAST(s.n_shingles AS DOUBLE) AS contamination_ratio
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+"""
+
+
+def pack_sequences_oracle(
+    seq_len: int = 512, n_shards: int = 8, seed: str = "pack1"
+) -> str:
+    """Recursive-CTE replay of the per-shard greedy fold: the walk
+    carries (pack_id, offset) and steps through each shard's docs in
+    doc_id order — the exact state machine of
+    operators/corpus.pack_sequences' kernel."""
+    key = hex32_sql(f"concat('{seed}', ':', CAST(doc_id AS STRING))")
+    return f"""
+WITH RECURSIVE d AS (
+    SELECT doc_id,
+           CAST(({key}) % {n_shards} AS INT) AS shard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           row_number() OVER (
+               PARTITION BY CAST(({key}) % {n_shards} AS INT)
+               ORDER BY doc_id
+           ) AS rn
+    FROM documents
+),
+walk(shard, rn, doc_id, n_tokens, pack_id, offset_tokens) AS (
+    SELECT shard, rn, doc_id, n_tokens,
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM d WHERE rn = 1
+    UNION ALL
+    SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+           CASE WHEN w.offset_tokens + w.n_tokens > 0
+                 AND w.offset_tokens + w.n_tokens + d.n_tokens > {seq_len}
+                THEN w.pack_id + 1 ELSE w.pack_id END,
+           CASE WHEN w.offset_tokens + w.n_tokens > 0
+                 AND w.offset_tokens + w.n_tokens + d.n_tokens > {seq_len}
+                THEN CAST(0 AS BIGINT)
+                ELSE w.offset_tokens + w.n_tokens END
+    FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1
+)
+SELECT doc_id, shard, pack_id, offset_tokens, n_tokens FROM walk
+"""
