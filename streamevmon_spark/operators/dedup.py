@@ -195,7 +195,9 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band_key"),
-    )
+    ).localCheckpoint()  # n_bands rows/doc; both sides of the self-join
+    # would otherwise recompute the whole shingle->signature subtree
+    # (measured ~2x the stage cost at sf0.1)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -353,7 +355,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         start += width
     banded = fp.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("band_key")
-    )
+    ).localCheckpoint()  # see minhash_lsh_pairs: stop the self-join
+    # re-running the token->fingerprint aggregation once per side
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
