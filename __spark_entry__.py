@@ -470,6 +470,23 @@ def _q_stream_detect_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_event_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    path = _stream_input(spark, sf_dir)
+    name = f"q_seg_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_event_groups(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            threshold=100.0, gap_s=10,
+        ),
+        name,
+    )
+    return spark.table(name)
+
+
 def _q_flows_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The YamlDagRunner analogue end-to-end: a declarative flows spec
     (two detectors over one transcripts source, one union sink, plus a
@@ -958,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_detect_mode": _q_stream_detect_mode,
         "stream_detect_changepoint": _q_stream_detect_changepoint,
         "flows_dag": _q_flows_dag,
+        "stream_event_groups": _q_stream_event_groups,
         "stream_detect_baseline": _q_stream_detect_baseline,
         "stream_detect_distdiff": _q_stream_detect_distdiff,
         # multimodal columns (binary payload + typed metadata; decode
@@ -1178,6 +1196,9 @@ def oracle_sql() -> dict[str, str]:
                 lag=5, threshold=2.0, influence=0.1, purge_s=86400
             )
             + ")"
+        ),
+        "stream_event_groups": oracles.stream_event_groups_oracle(
+            threshold=100.0, gap_s=10
         ),
         "stream_detect_baseline": oracles.baseline_events_oracle(
             max_history=5, percentile=0.1, threshold=10, purge_s=86400

@@ -1970,3 +1970,40 @@ FROM walk WHERE emit
     return with_transcripts(body).replace(
         "WITH transcripts", "WITH RECURSIVE transcripts", 1
     )
+
+
+def stream_event_groups_oracle(
+    threshold: float = 100.0, gap_s: int = 10
+) -> str:
+    """Per-series session grouping: gaps-and-islands with the session-
+    window merge rule (merge while consecutive events are strictly less
+    than gap apart; group_end = last event + gap, mirroring Spark's
+    session_window.end)."""
+    gap_us = gap_s * 1_000_000
+    return with_transcripts(f"""
+, ev AS (
+    SELECT conv_id, tool, role, ts, epoch_us(ts) AS ts_us,
+           CAST(floor(value * 1e6) AS BIGINT) AS val_q
+    FROM transcripts WHERE value > {threshold}
+),
+brk AS (
+    SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY ts_us
+        ) < {gap_us} THEN 0 ELSE 1 END AS is_new
+    FROM ev
+),
+isl AS (
+    SELECT *, sum(is_new) OVER (
+            PARTITION BY conv_id, tool, role ORDER BY ts_us
+            ROWS UNBOUNDED PRECEDING
+        ) AS gid
+    FROM brk
+)
+SELECT conv_id, tool, role,
+       min(ts) AS group_start,
+       max(ts) + INTERVAL '{gap_s} seconds' AS group_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(val_q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+           AS val_avg
+FROM isl GROUP BY conv_id, tool, role, gid
+""")

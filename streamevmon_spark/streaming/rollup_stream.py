@@ -537,3 +537,65 @@ def stream_rollup_to_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_event_groups(
+    stream: DataFrame,
+    threshold: float = 100.0,
+    gap_s: int = 10,
+) -> DataFrame:
+    """Streaming temporal event grouping via native session windows —
+    the streaming analogue of operators/event_grouping.
+    group_events_temporal (reference: SingleEventGrouper →
+    TemporalEventGrouper appended to streaming sinks,
+    events/grouping/EventGrouperFlinkHelper.scala:36-53; gap semantics
+    TemporalEventGrouper.scala).
+
+    Threshold events (value > threshold) merge into one group while
+    consecutive events are less than ``gap_s`` apart —
+    ``F.session_window`` maintains and merges open sessions across
+    micro-batches. Sessions are keyed per (conv_id, tool, role) series:
+    Spark refuses a global streaming session aggregation outright, and
+    the per-key form is also the shape that scales (state partitions by
+    series instead of one merge task; the reference's global keyBy("")
+    contract stays available in the batch operator, which distributes
+    it via coarse time buckets).
+
+    Timezone discipline: the session column is built with
+    ``timestamp_micros`` (epoch-anchored) and the emitted bounds go
+    back through ``unix_micros`` → NTZ arithmetic, so grouping is
+    identical under any session timezone — no NTZ→local cast anywhere
+    (a DST-repeated hour would otherwise merge groups
+    nondeterministically).
+    """
+    ev = stream.where(F.col("value") > F.lit(threshold)).select(
+        *SERIES_KEY,
+        F.expr(
+            f"timestamp_micros(datediff(MICROSECOND, {EPOCH_NTZ}, ts))"
+        ).alias("__evt"),
+        F.floor(F.col("value") * 1e6).alias("__val_q"),
+    )
+    grouped = ev.groupBy(
+        *SERIES_KEY,
+        F.session_window("__evt", f"{gap_s} seconds"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__val_q").alias("__val_sum"),
+    )
+    return grouped.select(
+        *SERIES_KEY,
+        F.expr(
+            f"timestampadd(MICROSECOND,"
+            f" unix_micros(session_window.start), {EPOCH_NTZ})"
+        ).alias("group_start"),
+        F.expr(
+            f"timestampadd(MICROSECOND,"
+            f" unix_micros(session_window.end), {EPOCH_NTZ})"
+        ).alias("group_end"),
+        "n_events",
+        (
+            F.col("__val_sum").cast("double")
+            / F.col("n_events").cast("double")
+            / 1e6
+        ).alias("val_avg"),
+    )

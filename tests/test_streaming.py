@@ -192,3 +192,74 @@ def test_stream_rollup_sink_checkpoint_resume(spark, sf_dir, tmp_path):
     cols = exp.columns
     assert n_first < exp.count()  # first run really was partial
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(exp, cols))
+
+
+def test_stream_event_groups_merge_across_micro_batches(spark):
+    """With a 1-hour gap, sessions definitely span the 4 time-ranged
+    input files (1 per micro-batch) — the session-window state must
+    merge them into the same groups a batch gaps-and-islands pass
+    produces."""
+    import uuid
+
+    import pandas as pd
+
+    from streamevmon_spark.data.transcripts import load_transcripts
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = S.materialize_transcripts(
+        spark, sf_dir, S.stream_input_dir(sf_dir)
+    )
+    name = f"t_seg_{uuid.uuid4().hex[:8]}"
+    gap_s = 3600
+    S.run_available_now(
+        S.stream_event_groups(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            threshold=0.0, gap_s=gap_s,
+        ),
+        name,
+    )
+    got = (
+        spark.table(name)
+        .toPandas()
+        .sort_values(["conv_id", "tool", "role", "group_start"])
+        .reset_index(drop=True)
+    )
+    # batch reference: per-series gaps-and-islands in pandas
+    ev = (
+        load_transcripts(spark, sf_dir)
+        .where("value > 0.0")
+        .select("conv_id", "tool", "role", "ts", "value")
+        .toPandas()
+        .sort_values(["conv_id", "tool", "role", "ts"])
+    )
+    rows = []
+    for key, grp in ev.groupby(["conv_id", "tool", "role"]):
+        ts_us = grp["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vq = (grp["value"] * 1e6).apply(int).to_numpy()
+        start = 0
+        for i in range(1, len(grp) + 1):
+            if i == len(grp) or ts_us[i] - ts_us[i - 1] >= gap_s * 1_000_000:
+                seg_v = vq[start:i]
+                rows.append(
+                    (*key,
+                     pd.Timestamp(ts_us[start], unit="us"),
+                     pd.Timestamp(ts_us[i - 1] + gap_s * 1_000_000,
+                                  unit="us"),
+                     i - start,
+                     seg_v.sum() / len(seg_v) / 1e6)
+                )
+                start = i
+    exp = pd.DataFrame(
+        rows, columns=["conv_id", "tool", "role", "group_start",
+                       "group_end", "n_events", "val_avg"]
+    ).sort_values(["conv_id", "tool", "role", "group_start"]).reset_index(
+        drop=True
+    )
+    # a session must span micro-batch files for this test to mean
+    # anything: with 4 time-ranged files and hour-long gaps there are
+    # far fewer groups than events
+    assert len(exp) < len(ev)
+    got["group_start"] = got["group_start"].astype("datetime64[us]")
+    got["group_end"] = got["group_end"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
