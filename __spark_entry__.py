@@ -487,6 +487,26 @@ def _q_stream_event_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LOCF gap-fill drained over time-ranged micro-batches;
+    must hash-equal the BATCH gap_fill oracle (same tier and purge)."""
+    import uuid
+
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    path = _stream_input(spark, sf_dir)
+    name = f"q_sgf_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_gap_fill(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            tier="1h", purge_gap_s=7200,
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 def _q_flows_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The YamlDagRunner analogue end-to-end: a declarative flows spec
     (two detectors over one transcripts source, one union sink, plus a
@@ -976,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_detect_changepoint": _q_stream_detect_changepoint,
         "flows_dag": _q_flows_dag,
         "stream_event_groups": _q_stream_event_groups,
+        "stream_gapfill_locf_1h": _q_stream_gapfill,
         "stream_detect_baseline": _q_stream_detect_baseline,
         "stream_detect_distdiff": _q_stream_detect_distdiff,
         # multimodal columns (binary payload + typed metadata; decode
@@ -1196,6 +1217,9 @@ def oracle_sql() -> dict[str, str]:
                 lag=5, threshold=2.0, influence=0.1, purge_s=86400
             )
             + ")"
+        ),
+        "stream_gapfill_locf_1h": oracles.gapfill_oracle(
+            "1h", "locf", 7200
         ),
         "stream_event_groups": oracles.stream_event_groups_oracle(
             threshold=100.0, gap_s=10

@@ -599,3 +599,96 @@ def stream_event_groups(
             / 1e6
         ).alias("val_avg"),
     )
+
+
+def stream_gap_fill(
+    stream: DataFrame,
+    tier: str = "1h",
+    purge_gap_s: int = 600,
+) -> DataFrame:
+    """Streaming LOCF gap-fill: the batch grid semantics
+    (operators/gapfill.gap_fill, method='locf') as a per-series
+    stateful operator. State = (last observation, next grid instant);
+    each arriving non-lossy observation emits every grid point up to
+    and including its own timestamp — LOCF value when the gap to the
+    last observation is within ``purge_gap_s``, NULL ('none') beyond
+    it, the observation itself ('obs') when it sits on the grid.
+
+    The batch grid ends at floor(max_ts/step) — at or before the last
+    observation — so the streaming fold needs NO end-of-stream flush:
+    grid points are only ever emitted at-or-below an observed
+    timestamp, which is what makes this drainable in append mode with
+    bit-equality to the batch result.
+
+    Limitation (documented, inherent to append mode): duplicate
+    timestamps are canonicalized to the highest turn_idx WITHIN a
+    micro-batch (matching the batch max_by) — a same-microsecond
+    duplicate arriving in a LATER micro-batch cannot retract an
+    already-emitted grid row.
+    """
+    import pandas as pd
+
+    step_us = TIERS[tier] * 1_000_000
+    purge_us = purge_gap_s * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        conv_id, tool, role = key
+        (last_ts, last_val, next_grid) = (
+            state.get if state.exists else (None, None, None)
+        )
+        rows: list[tuple] = []
+        for pdf in pdf_iter:
+            obs = pdf[pdf["value"].notna()].sort_values(
+                ["ts", "turn_idx"], kind="mergesort"
+            )
+            # canonicalize duplicate timestamps: keep max turn_idx
+            obs = obs.drop_duplicates(subset=["ts"], keep="last")
+            ts_us = obs["ts"].astype("datetime64[us]").astype("int64")
+            for t, v in zip(ts_us, obs["value"]):
+                t = int(t)
+                if last_ts is not None and t <= last_ts:
+                    continue  # cross-batch duplicate/regression
+                if next_grid is None:
+                    next_grid = (t // step_us) * step_us
+                g = next_grid
+                while g <= t:
+                    if g == t:
+                        rows.append((g, float(v), "obs"))
+                    elif last_ts is not None and g - last_ts <= purge_us:
+                        rows.append((g, float(last_val), "locf"))
+                    else:
+                        rows.append((g, None, "none"))
+                    g += step_us
+                next_grid = g
+                last_ts, last_val = t, float(v)
+        if last_ts is not None:
+            state.update((last_ts, last_val, next_grid))
+        out = pd.DataFrame(
+            rows, columns=["g_us", "value_filled", "fill_method"]
+        )
+        out.insert(0, "role", role)
+        out.insert(0, "tool", tool)
+        out.insert(0, "conv_id", conv_id)
+        out["grid_ts"] = pd.to_datetime(
+            out["g_us"].astype("int64"), unit="us"
+        ) if len(out) else pd.Series([], dtype="datetime64[us]")
+        yield out[
+            ["conv_id", "tool", "role", "grid_ts", "value_filled",
+             "fill_method"]
+        ]
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy(*SERIES_KEY).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "conv_id string, tool string, role string, "
+            "grid_ts timestamp_ntz, value_filled double, "
+            "fill_method string"
+        ),
+        stateStructType=(
+            "last_ts_us long, last_val double, next_grid_us long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
