@@ -88,7 +88,12 @@ def ngram_jaccard_pairs(
     denominator), i.e. the capped semantics are self-consistent and the
     DuckDB oracle applies the identical cap.
     """
-    sh = _doc_shingles(docs)
+    # Materialize the exploded shingle relation before the self-join —
+    # the inverted-index build a production near-dup pass does anyway.
+    # Without it both join sides recompute the shingling lambda chain
+    # (measured: capped variant 3.4 s -> 1.2 s at sf0.1). localCheckpoint
+    # is partition-distributed executor storage, not a driver collect.
+    sh = _doc_shingles(docs).localCheckpoint()
     if max_doc_freq is not None:
         # document frequency per shingle; keep the rare ones only. One
         # extra groupBy on the shingle key — linear, and it shrinks every
@@ -99,7 +104,7 @@ def ngram_jaccard_pairs(
             .where(F.col("df") <= max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(rare, "shingle").localCheckpoint()
         sizes = sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles")
         )
