@@ -56,6 +56,10 @@ class PartitionRecord:
     wall_s: float = 0.0
     turns_per_sec: float = 0.0
     hot_series: list = field(default_factory=list)  # [(conv_id, rows), ...]
+    # completion sequence number — the Iceberg snapshot-id analogue:
+    # assigned in completion order when the bucket is marked done, so
+    # "the table as of snapshot k" = partitions with 1 <= seq <= k.
+    seq: int = 0
 
 
 @dataclass

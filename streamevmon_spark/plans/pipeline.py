@@ -140,6 +140,7 @@ def run_pipeline(
             rows_out[tier] = spark.read.parquet(dest).count()
         wall = time.monotonic() - t0
         part.status = "done"
+        part.seq = max((q.seq for q in manifest.partitions), default=0) + 1
         part.rows_in = rows_in
         part.rows_out = rows_out
         part.wall_s = round(wall, 3)
@@ -152,3 +153,35 @@ def run_pipeline(
 
 def read_rollup(spark: SparkSession, out_dir: str, tier: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, f"rollup_{tier}", "*"))
+
+
+def read_rollup_as_of(
+    spark: SparkSession, out_dir: str, tier: str, snapshot: int
+) -> DataFrame:
+    """Time-travel read: the rollup output as of completion-snapshot
+    ``snapshot`` — exactly the partitions whose ``seq`` (assigned in
+    completion order, the Iceberg snapshot-id analogue) is <= snapshot.
+    Because buckets are written idempotently to per-partition subdirs,
+    an as-of read is a pure path selection — no data is rewritten or
+    copied to keep history."""
+    manifest = load_manifest(out_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    paths = [
+        os.path.join(out_dir, f"rollup_{tier}", part.part_id)
+        for part in manifest.partitions
+        if part.status == "done" and 0 < part.seq <= snapshot
+    ]
+    if not paths:
+        return spark.createDataFrame(
+            [], read_rollup(spark, out_dir, tier).schema
+        )
+    return spark.read.parquet(*paths)
+
+
+def latest_snapshot(out_dir: str) -> int:
+    """Highest completion-sequence number in the manifest (0 = empty)."""
+    manifest = load_manifest(out_dir)
+    if manifest is None:
+        return 0
+    return max((p.seq for p in manifest.partitions), default=0)

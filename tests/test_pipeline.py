@@ -89,3 +89,48 @@ def test_manifest_metrics_recorded(spark, sf_dir, tmp_path):
         assert len(p["hot_series"]) > 0  # skew metrics present
     total_in = sum(p["rows_in"] for p in raw["partitions"])
     assert total_in == df.count()
+
+
+def test_snapshot_as_of_reads(spark, sf_dir, tmp_path):
+    """Time-travel: read_rollup_as_of(k) returns exactly the buckets
+    completed by snapshot k; snapshots accumulate across a halted +
+    resumed run; the latest snapshot equals the full table."""
+    from streamevmon_spark.plans.pipeline import (
+        latest_snapshot,
+        read_rollup_as_of,
+        run_pipeline,
+    )
+
+    df = load_transcripts(spark, sf_dir)
+    out = str(tmp_path / "snap")
+    m1 = run_pipeline(
+        spark, df, out, input_path=sf_dir, tiers=("1h",),
+        bucket_s=BUCKET, stop_after=2,
+    )
+    assert latest_snapshot(out) == 2
+    rows_at_1 = read_rollup_as_of(spark, out, "1h", 1).count()
+    rows_at_2 = read_rollup_as_of(spark, out, "1h", 2).count()
+    assert 0 < rows_at_1 < rows_at_2
+
+    # resume completes the run; earlier snapshots keep their meaning
+    run_pipeline(
+        spark, df, out, input_path=sf_dir, tiers=("1h",), bucket_s=BUCKET
+    )
+    n = latest_snapshot(out)
+    assert n == len(load_manifest(out).partitions)
+    assert read_rollup_as_of(spark, out, "1h", 1).count() == rows_at_1
+    assert read_rollup_as_of(spark, out, "1h", 2).count() == rows_at_2
+    # as-of(latest) == the full table
+    full = _read_sorted(spark, out, "1h")
+    asof = (
+        read_rollup_as_of(spark, out, "1h", n)
+        .toPandas()
+        .sort_values(
+            ["conv_id", "tool", "role", "window_start"],
+            ignore_index=True,
+        )
+    )
+    pd.testing.assert_frame_equal(asof, full)
+    # snapshot ids are the completion order recorded in the manifest
+    seqs = sorted(p.seq for p in load_manifest(out).partitions)
+    assert seqs == list(range(1, n + 1))
