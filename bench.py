@@ -147,7 +147,73 @@ def _scaling_child(sf_dir: str, cpus: str, n_turns: int) -> None:
     spark.stop()
 
 
-def run_scaling(sf_dir: str, n_turns: int = 24_000_000) -> dict:
+def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
+    """Child body for the training-data-layer scaling axis: exact dedup
+    (hash groupBy) + MinHash-LSH near-dup pairs (signatures -> banded
+    candidates -> exact-Jaccard verify) over seeded synthetic documents
+    with planted near-dup families (data/documents.generate_documents).
+    Same JVM/core discipline as the rollup child."""
+    from streamevmon_spark.data.documents import generate_documents
+    from streamevmon_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+
+    spark = build_spark(
+        app_name=f"streamevmon-scaling-dedup-{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={cpus}",
+            "spark.driver.memory": f"{max(8, int(cpus))}g",
+        },
+    )
+    from streamevmon_spark.operators.dedup import minhash_signatures
+
+    docs = generate_documents(
+        spark, n_docs=n_docs, partitions=int(cpus) * 2
+    ).persist()
+    docs.count()  # materialise input outside the timed region
+
+    def job() -> None:
+        exact_dedup(docs).write.format("noop").mode("overwrite").save()
+        minhash_lsh_pairs(docs, threshold=0.5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def sig_job() -> None:
+        minhash_signatures(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    # The full pipeline's candidate/verify joins are driver-broadcast
+    # joins at bench scale (flat cost across core counts — single-
+    # threaded broadcast builds), so the signature stage (the shuffle/
+    # CPU-dominant cost that grows with corpus size) is timed separately
+    # as the representative 100 TB-regime number.
+    job()  # untimed warm-up (JIT, shuffle buffers)
+    sig_job()
+    wall, sig_wall = 1e9, 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        job()
+        wall = min(wall, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sig_job()
+        sig_wall = min(sig_wall, time.perf_counter() - t0)
+    print(json.dumps({"cpus": int(cpus), "wall_s": round(wall, 3),
+                      "sig_wall_s": round(sig_wall, 3),
+                      "docs_per_sec": round(n_docs / wall, 1),
+                      "sig_docs_per_sec": round(n_docs / sig_wall, 1),
+                      "turns_per_sec": round(n_docs / wall, 1)}))
+    spark.stop()
+
+
+def run_scaling(
+    sf_dir: str,
+    n_turns: int = 24_000_000,
+    child_flag: str = "--scaling-child",
+) -> dict:
     """Run the identical job at local[8] and local[32] in fresh processes
     (fresh JVM each — no shared executor state) and report efficiency."""
     import subprocess
@@ -155,7 +221,7 @@ def run_scaling(sf_dir: str, n_turns: int = 24_000_000) -> dict:
     out = {}
     for cpus in ("8", "32"):
         env = dict(os.environ)
-        cmd = [sys.executable, __file__, "--scaling-child", str(cpus),
+        cmd = [sys.executable, __file__, child_flag, str(cpus),
                str(n_turns), sf_dir]
         # OS-level affinity: the N-core child physically runs on N cores,
         # so GC/IO/OS threads cannot borrow idle cores and flatter the
@@ -190,6 +256,18 @@ def main() -> None:
     if "--scaling-child" in sys.argv:
         i = sys.argv.index("--scaling-child")
         _scaling_child(sys.argv[i + 3], sys.argv[i + 1], int(sys.argv[i + 2]))
+        return
+    if "--scaling-dedup-child" in sys.argv:
+        i = sys.argv.index("--scaling-dedup-child")
+        _scaling_dedup_child(sys.argv[i + 1], int(sys.argv[i + 2]))
+        return
+    if "--scaling-dedup" in sys.argv:
+        out = run_scaling(
+            sf_dir,
+            n_turns=int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "200000")),
+            child_flag="--scaling-dedup-child",
+        )
+        print(json.dumps(out, indent=2))
         return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir), indent=2))

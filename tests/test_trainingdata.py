@@ -200,3 +200,27 @@ def test_ann_ivf_recall_and_plan(spark, embs):
     assert recall >= 0.3, f"IVF recall vs brute force too low: {recall}"
     m = exact.merge(approx, on=["query_id", "vec_id"], suffixes=("_e", "_a"))
     assert (m["cosine_e"] == m["cosine_a"]).all()
+
+
+def test_generated_documents_planted_families(spark):
+    """Synthetic dedup-bench corpus: deterministic, with near-dup
+    families of 5 whose members differ from the head in exactly one
+    token (family head = member 0)."""
+    from streamevmon_spark.data.documents import generate_documents
+    from streamevmon_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = generate_documents(spark, 100)
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    again = {r.doc_id: r.text for r in generate_documents(spark, 100).collect()}
+    assert rows == again
+    for fam in range(0, 100, 5):
+        head = rows[fam].split(" ")
+        for m in range(1, 5):
+            member = rows[fam + m].split(" ")
+            assert len(member) == len(head)
+            diffs = sum(1 for a, b in zip(head, member) if a != b)
+            assert diffs == 1
+    # near-dup detection finds the planted pairs at a high threshold
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    same_family = [p for p in pairs if p.doc_a // 5 == p.doc_b // 5]
+    assert len(same_family) >= 100 * 4 // 5  # most intra-family pairs
