@@ -155,10 +155,11 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: mh_i = min over shingles of
     hex32(i || ':' || shingle).
 
-    Computed map-side as ``array_min(transform(shingles, ...))`` over
-    the per-row shingle array — NO explode + groupBy shuffle. At 100 TB
-    this turns the signature stage from a full-corpus shuffle into a
-    pure projection fused into the scan."""
+    Computed as explode + groupBy with map-side partial aggregation:
+    each doc's shingles collapse to one signature row before the
+    exchange, so the shuffle carries ~1 row per document — not a
+    full-shingle-corpus shuffle — and the md5 stays inside whole-stage
+    codegen."""
     # Shape note (measured, sf0.1): explode + groupBy beats a fully
     # map-side array_min(transform(...)) rewrite ~10x. Nested lambda
     # transforms evaluate interpreted per element, while the flat

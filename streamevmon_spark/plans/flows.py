@@ -79,6 +79,11 @@ def _validate(spec: dict) -> None:
     if len(set(sink_names)) != len(sink_names):
         raise ValueError(f"duplicate sink names: {sink_names}")
     for det in spec.get("detectors", []):
+        if not det.get("sources"):
+            raise ValueError(
+                f"detector {det.get('type')!r} has no sources — every "
+                "detector needs at least one source reference"
+            )
         for ref in det.get("sources", []):
             if ref["name"] not in src_names:
                 raise ValueError(

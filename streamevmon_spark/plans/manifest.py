@@ -98,10 +98,20 @@ def _fingerprint(path: str) -> str:
 
 def load_manifest(out_dir: str) -> Manifest | None:
     p = os.path.join(out_dir, MANIFEST_NAME)
-    if os.path.exists(p):
-        with open(p) as f:
-            return Manifest.from_json(f.read())
-    return None
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        m = Manifest.from_json(f.read())
+    # Legacy backfill: manifests written before completion-sequence
+    # tracking have done partitions with seq=0, which would be invisible
+    # to every as-of read. Assign seqs deterministically in partition
+    # (bucket) order, after any real seqs already present.
+    next_seq = max((q.seq for q in m.partitions), default=0) + 1
+    for part in m.partitions:
+        if part.status == "done" and part.seq == 0:
+            part.seq = next_seq
+            next_seq += 1
+    return m
 
 
 def save_manifest(out_dir: str, m: Manifest) -> None:

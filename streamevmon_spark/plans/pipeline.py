@@ -151,6 +151,19 @@ def run_pipeline(
     return manifest
 
 
+# Static rollup output schema (mirrors operators/rollup.py:180-210) so
+# an as-of read at snapshot 0 — or over a run halted before its first
+# bucket — can return an empty DataFrame without touching the output dir.
+ROLLUP_SCHEMA = (
+    "conv_id string, tool string, role string, "
+    "window_start timestamp_ntz, window_end timestamp_ntz, "
+    "turn_count bigint, lossy_count bigint, "
+    "lat_avg double, lat_min double, lat_max double, "
+    "lat_p50 double, lat_p95 double, lat_p99 double, "
+    "val_avg double, activity_rate double"
+)
+
+
 def read_rollup(spark: SparkSession, out_dir: str, tier: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, f"rollup_{tier}", "*"))
 
@@ -173,9 +186,7 @@ def read_rollup_as_of(
         if part.status == "done" and 0 < part.seq <= snapshot
     ]
     if not paths:
-        return spark.createDataFrame(
-            [], read_rollup(spark, out_dir, tier).schema
-        )
+        return spark.createDataFrame([], ROLLUP_SCHEMA)
     return spark.read.parquet(*paths)
 
 

@@ -78,6 +78,16 @@ def test_build_time_validation(spark):
     with pytest.raises(ValueError):
         build_flows(spark, bad_param, SF)["out"]
 
+    no_sources = _spec()
+    no_sources["detectors"][0]["sources"] = []
+    with pytest.raises(ValueError, match="no sources"):
+        build_flows(spark, no_sources, SF)
+
+    missing_sources = _spec()
+    del missing_sources["detectors"][0]["sources"]
+    with pytest.raises(ValueError, match="no sources"):
+        build_flows(spark, missing_sources, SF)
+
 
 def test_source_ref_filters_apply(spark):
     """tool= restricts to the typed sub-stream; filter_lossy drops

@@ -134,3 +134,47 @@ def test_snapshot_as_of_reads(spark, sf_dir, tmp_path):
     # snapshot ids are the completion order recorded in the manifest
     seqs = sorted(p.seq for p in load_manifest(out).partitions)
     assert seqs == list(range(1, n + 1))
+
+
+def test_as_of_empty_and_preseq_manifests(spark, sf_dir, tmp_path):
+    """Snapshot 0 (and a run halted before its first bucket) returns an
+    empty frame with the real rollup schema — no output dir needed; and
+    legacy manifests whose done partitions predate seq tracking (seq=0)
+    are backfilled so as-of reads still see them."""
+    from streamevmon_spark.plans.manifest import save_manifest
+    from streamevmon_spark.plans.pipeline import (
+        ROLLUP_SCHEMA,
+        latest_snapshot,
+        read_rollup,
+        read_rollup_as_of,
+        run_pipeline,
+    )
+
+    df = load_transcripts(spark, sf_dir)
+    out = str(tmp_path / "empty")
+    # halt before the first bucket: manifest exists, rollup dirs don't
+    run_pipeline(
+        spark, df, out, input_path=sf_dir, tiers=("1h",),
+        bucket_s=BUCKET, stop_after=0,
+    )
+    empty = read_rollup_as_of(spark, out, "1h", 0)
+    assert empty.count() == 0
+    # the static schema matches what the pipeline actually writes
+    run_pipeline(
+        spark, df, out, input_path=sf_dir, tiers=("1h",), bucket_s=BUCKET
+    )
+    assert empty.schema == read_rollup(spark, out, "1h").schema
+    assert spark.createDataFrame([], ROLLUP_SCHEMA).schema == empty.schema
+
+    # legacy manifest: zero out every seq; loads must backfill in
+    # partition order so nothing is invisible to as-of reads
+    m = load_manifest(out)
+    n = len(m.partitions)
+    for p in m.partitions:
+        p.seq = 0
+    save_manifest(out, m)
+    assert latest_snapshot(out) == n
+    assert (
+        read_rollup_as_of(spark, out, "1h", n).count()
+        == read_rollup(spark, out, "1h").count()
+    )
