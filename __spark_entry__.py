@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from streamevmon_spark import docs_oracles, graph_oracles, oracles  # noqa: E402
+from streamevmon_spark import (  # noqa: E402
+    docs_oracles,
+    graph_oracles,
+    itdk_oracles,
+    oracles,
+)
 from streamevmon_spark.data.transcripts import load_transcripts  # noqa: E402
 from streamevmon_spark.operators import rollup as R  # noqa: E402
 
@@ -852,6 +857,64 @@ def _q_graph_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.graph_dot(vertices, edges)
 
 
+def _itdk_inverted(spark: SparkSession, sf_dir: str):
+    """The synthetic ITDK inverted map (address -> node, asn) —
+    generated-as-lines and re-parsed by the real parsers, then
+    materialized once per session (it feeds three queries and both
+    sides of the vertex relabel)."""
+    from streamevmon_spark.operators import itdk as I
+
+    key = (spark.sparkContext.applicationId, sf_dir, "itdk")
+    if key not in _HOPS_CACHE:
+        hops, _ = _graph_hops(spark, sf_dir)
+        nodes, as_df, _geo = I.synth_itdk(hops)
+        _HOPS_CACHE[key] = I.itdk_inverted_map(
+            nodes, as_df
+        ).localCheckpoint()
+    return _HOPS_CACHE[key]
+
+
+def _q_itdk_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators import itdk as I
+
+    hops, _ = _graph_hops(spark, sf_dir)
+    addrs = (
+        hops.where(F.col("address").isNotNull())
+        .select("address")
+        .distinct()
+    )
+    return I.lookup_by_address(addrs, _itdk_inverted(spark, sf_dir))
+
+
+def _q_itdk_as_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators import itdk as I
+
+    hops, _ = _graph_hops(spark, sf_dir)
+    _nodes, as_df, geo = I.synth_itdk(hops)
+    node_ids = _itdk_inverted(spark, sf_dir).select("node_id").distinct()
+    return I.geo_by_node(I.as_by_node(node_ids, as_df), geo)
+
+
+def _q_itdk_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators import itdk as I
+
+    hops, _ = _graph_hops(spark, sf_dir)
+    return _stringify_asns(
+        I.itdk_vertices(hops, _itdk_inverted(spark, sf_dir))
+    )
+
+
+def _q_itdk_merged_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.operators import itdk as I
+
+    hops, _ = _graph_hops(spark, sf_dir)
+    _, edges = _graph_dims(spark, sf_dir)
+    mapping = I.resolve_aliases_itdk(hops, _itdk_inverted(spark, sf_dir))
+    return I.itdk_merged_edges(edges, mapping)
+
+
 def _graph_topo_links_oracle() -> str:
     from streamevmon_spark.functions.porthash import hex32_sql
     from streamevmon_spark.operators.graph import N_STREAMS
@@ -1008,18 +1071,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "media_decode_fake": _q_media_decode,
         "media_frame_sample": _q_frame_sample,
-        # --- sentinels for code changed this round (4) ---------------
-        # rollup_1m re-certifies the guarded-by-default tier path;
-        # cascade_exact_1d the exact-percentile cascade; detect_spike the
-        # detector kernels; event_groups the stitched temporal grouping
+        # --- new this round: ITDK lookup family (4) -------------------
+        # reference events/grouping/graph/itdk/* — text parsers +
+        # preprocessor join + AS/geo lookups + ITDK alias resolution,
+        # all over a deterministic synthesized dataset whose LINES are
+        # regenerated and re-parsed by the DuckDB oracle
+        "itdk_lookup": _q_itdk_lookup,
+        "itdk_as_geo": _q_itdk_as_geo,
+        "itdk_vertices": _q_itdk_vertices,
+        "itdk_merged_edges": _q_itdk_merged_edges,
+        # --- sentinel re-certifying the flagship tier path (1) --------
         "rollup_1m": _q_rollup("1m"),
+        # ===== position 50+: r02-green rows (driver record current) ===
+        "transcripts": _q_transcripts,
         "cascade_exact_1d": _q_cascade_exact("1d"),
         "detect_spike": _q_detect(
             "spike", lag=5, threshold=2.0, influence=0.1, purge_s=86400
         ),
         "event_groups": _q_event_groups,
-        # ===== position 50+: r02-green rows (driver record current) ===
-        "transcripts": _q_transcripts,
         "rollup_1h": _q_rollup("1h"),
         "rollup_1d": _q_rollup("1d"),
         "rollup_onepass_1m": _q_onepass("1m"),
@@ -1300,4 +1369,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_stream_distances": graph_oracles.stream_distances_oracle(10),
         "graph_topo_links": _graph_topo_links_oracle(),
         "graph_dot": graph_oracles.graph_dot_oracle(),
+        "itdk_lookup": itdk_oracles.lookup_oracle(),
+        "itdk_as_geo": itdk_oracles.as_geo_oracle(),
+        "itdk_vertices": itdk_oracles.vertices_oracle(),
+        "itdk_merged_edges": itdk_oracles.merged_edges_oracle(),
     }
