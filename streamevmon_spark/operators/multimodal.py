@@ -83,17 +83,17 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     fake=True: deterministic byte-level features (mean/min/max byte,
     entropy proxy) — one vectorized NumPy pass per Arrow batch.
-    fake=False: the real decoder hook — raises NotImplementedError (no
-    PIL/libav in this container); a deployment drops its decoder into
-    ``_real_decode`` without touching the Spark plumbing."""
+    fake=False: delegates to ``decode_image`` (feature-detected Pillow,
+    or an injected decoder callable)."""
+
+    if not fake:
+        return decode_image(media)
 
     def run(pdf_iter):
         import numpy as np
         import pandas as pd
 
         for pdf in pdf_iter:
-            if not fake:
-                _real_decode(pdf)
             feats = {"media_id": pdf["media_id"], "kind": pdf["kind"],
                      "n_bytes": [], "byte_mean": [], "byte_min": [],
                      "byte_max": [], "distinct_bytes": []}
@@ -113,11 +113,57 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
-def _real_decode(pdf) -> None:
-    raise NotImplementedError(
-        "real media decode requires image/audio libraries not present in "
-        "this container; use decode_features(..., fake=True) for the "
-        "deterministic byte-level stand-in"
+def _pil_decode(blob: bytes) -> tuple:
+    """Default real decoder: feature-detected Pillow. Returns
+    (width, height, mode, pixel_mean). Raises NotImplementedError with
+    a clear message when Pillow is absent (as in this sandbox)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - no Pillow here
+        raise NotImplementedError(
+            "real image decode requires Pillow, which is not installed; "
+            "pass decode_image(..., decoder=...) or use "
+            "decode_features(..., fake=True) for the deterministic "
+            "byte-level stand-in"
+        ) from exc
+    import io
+
+    import numpy as np
+
+    img = Image.open(io.BytesIO(blob))
+    arr = np.asarray(img.convert("L"), dtype=np.uint8)
+    return img.width, img.height, img.mode, float(arr.mean())
+
+
+def decode_image(media: DataFrame, decoder=None) -> DataFrame:
+    """Real image decode over the opaque payload column: one mapInPandas
+    pass emitting (media_id, width, height, mode, pixel_mean) per image
+    row. ``decoder`` is a callable blob -> (width, height, mode,
+    pixel_mean); it defaults to the feature-detected Pillow path
+    (``_pil_decode``) and is serialized into the worker closure, so a
+    deployment can drop in any decoder (or a test a deterministic fake)
+    without touching the Spark plumbing. Blobs stream through Arrow
+    batches; nothing ever collects to the driver."""
+    dec = decoder or _pil_decode
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            out = {"media_id": pdf["media_id"], "width": [],
+                   "height": [], "mode": [], "pixel_mean": []}
+            for blob in pdf["payload"]:
+                w, h, m, p = dec(bytes(blob))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append(m)
+                out["pixel_mean"].append(p)
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run,
+        "media_id long, width int, height int, mode string, "
+        "pixel_mean double",
     )
 
 

@@ -48,13 +48,41 @@ def test_decode_features_fake_byte_stats(spark, sf_dir):
     assert row["distinct_bytes"] == len(set(arr))
 
 
-def test_decode_features_real_path_is_stubbed(spark, sf_dir):
-    media = MM.synth_media(_docs(spark, sf_dir)).limit(1)
+def test_decode_real_path_feature_detects_pillow(spark, sf_dir):
+    # no Pillow in this container: the default decoder must fail with a
+    # clear NotImplementedError, not an opaque ImportError
+    media = MM.synth_media(_docs(spark, sf_dir)).where("kind = 'image'")
     with pytest.raises(Exception) as exc_info:
-        MM.decode_features(media, fake=False).collect()
+        MM.decode_features(media.limit(1), fake=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_decode_image_with_injected_decoder(spark, sf_dir):
+    # the decoder is injectable (serialized into the worker closure), so
+    # the full mapInPandas plumbing — schema, batching, image filter —
+    # runs without Pillow; the fake decoder is deterministic on payload
+    def fake_decoder(blob: bytes):
+        return len(blob) % 1024, len(blob) // 1024 + 1, "L", float(
+            blob[0] if blob else 0
+        )
+
+    media = MM.synth_media(_docs(spark, sf_dir))
+    out = MM.decode_image(media, decoder=fake_decoder)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "width", "height", "mode", "pixel_mean",
+    ]
+    rows = {r.media_id: r for r in out.collect()}
+    n_images = media.where("kind = 'image'").count()
+    assert len(rows) == n_images > 0
+    # spot-check determinism against the payload itself
+    one = media.where("kind = 'image'").select(
+        "media_id", "payload"
+    ).first()
+    got = rows[one.media_id]
+    w, h, m, p = fake_decoder(bytes(one.payload))
+    assert (got.width, got.height, got.mode, got.pixel_mean) == (w, h, m, p)
 
 
 def test_frame_sample_chunks_and_stride(spark, sf_dir):
