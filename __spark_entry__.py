@@ -857,17 +857,28 @@ def _q_graph_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.graph_dot(vertices, edges)
 
 
+def _itdk_synth(spark: SparkSession, sf_dir: str):
+    """The synthetic ITDK tables (nodes, as, geo) — generated-as-lines,
+    re-parsed by the real parsers, built once per session (generating
+    each line relation scans the hop table once)."""
+    from streamevmon_spark.operators import itdk as I
+
+    key = (spark.sparkContext.applicationId, sf_dir, "itdk_synth")
+    if key not in _HOPS_CACHE:
+        hops, _ = _graph_hops(spark, sf_dir)
+        _HOPS_CACHE[key] = I.synth_itdk(hops)
+    return _HOPS_CACHE[key]
+
+
 def _itdk_inverted(spark: SparkSession, sf_dir: str):
-    """The synthetic ITDK inverted map (address -> node, asn) —
-    generated-as-lines and re-parsed by the real parsers, then
+    """The synthetic ITDK inverted map (address -> node, asn),
     materialized once per session (it feeds three queries and both
     sides of the vertex relabel)."""
     from streamevmon_spark.operators import itdk as I
 
     key = (spark.sparkContext.applicationId, sf_dir, "itdk")
     if key not in _HOPS_CACHE:
-        hops, _ = _graph_hops(spark, sf_dir)
-        nodes, as_df, _geo = I.synth_itdk(hops)
+        nodes, as_df, _geo = _itdk_synth(spark, sf_dir)
         _HOPS_CACHE[key] = I.itdk_inverted_map(
             nodes, as_df
         ).localCheckpoint()
@@ -891,8 +902,7 @@ def _q_itdk_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_itdk_as_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.operators import itdk as I
 
-    hops, _ = _graph_hops(spark, sf_dir)
-    _nodes, as_df, geo = I.synth_itdk(hops)
+    _nodes, as_df, geo = _itdk_synth(spark, sf_dir)
     node_ids = _itdk_inverted(spark, sf_dir).select("node_id").distinct()
     return I.geo_by_node(I.as_by_node(node_ids, as_df), geo)
 
