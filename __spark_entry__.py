@@ -500,16 +500,15 @@ def _q_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.streaming import rollup_stream as S
 
     path = _stream_input(spark, sf_dir)
-    name = f"q_sgf_{uuid.uuid4().hex[:8]}"
-    S.run_available_now(
+    out = f"/tmp/q_sgf_{uuid.uuid4().hex[:8]}"
+    S.run_available_now_to_parquet(
         S.stream_gap_fill(
             S.stream_transcripts(spark, path, max_files_per_trigger=1),
             tier="1h", purge_gap_s=7200,
         ),
-        name,
-        output_mode="append",
+        out,
     )
-    return spark.table(name)
+    return spark.read.parquet(out)
 
 
 def _q_flows_dag(spark: SparkSession, sf_dir: str) -> DataFrame:

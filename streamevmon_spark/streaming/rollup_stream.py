@@ -218,6 +218,26 @@ def run_available_now(
     q.awaitTermination()
 
 
+def run_available_now_to_parquet(sdf: DataFrame, out_dir: str) -> str:
+    """Drain the whole input (Trigger.AvailableNow) into a parquet sink.
+
+    The memory sink funnels every output row through the driver and
+    every downstream read re-scans that single-JVM table; for
+    append-mode streams with large outputs (the gap-fill grid is
+    series x span/step rows) a file sink keeps the write AND the
+    re-read parallel. Returns ``out_dir`` for ``spark.read.parquet``."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_dir + "_chk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
+
+
 def stream_detect_loss(
     stream: DataFrame,
     max_history: int = 30,
@@ -626,56 +646,97 @@ def stream_gap_fill(
     duplicate arriving in a LATER micro-batch cannot retract an
     already-emitted grid row.
     """
+    import numpy as np
     import pandas as pd
 
     step_us = TIERS[tier] * 1_000_000
     purge_us = purge_gap_s * 1_000_000
+    _empty = pd.DataFrame(
+        {
+            "conv_id": pd.Series([], dtype="object"),
+            "tool": pd.Series([], dtype="object"),
+            "role": pd.Series([], dtype="object"),
+            "grid_ts": pd.Series([], dtype="datetime64[us]"),
+            "value_filled": pd.Series([], dtype="Float64"),
+            "fill_method": pd.Series([], dtype="object"),
+        }
+    )
 
     def fn(key, pdf_iter, state):
         conv_id, tool, role = key
         (last_ts, last_val, next_grid) = (
             state.get if state.exists else (None, None, None)
         )
-        rows: list[tuple] = []
-        for pdf in pdf_iter:
-            obs = pdf[pdf["value"].notna()].sort_values(
-                ["ts", "turn_idx"], kind="mergesort"
-            )
+        chunks = [pdf[pdf["value"].notna()] for pdf in pdf_iter]
+        obs = (
+            pd.concat(chunks)
+            .sort_values(["ts", "turn_idx"], kind="mergesort")
             # canonicalize duplicate timestamps: keep max turn_idx
-            obs = obs.drop_duplicates(subset=["ts"], keep="last")
-            ts_us = obs["ts"].astype("datetime64[us]").astype("int64")
-            for t, v in zip(ts_us, obs["value"]):
-                t = int(t)
-                if last_ts is not None and t <= last_ts:
-                    continue  # cross-batch duplicate/regression
-                if next_grid is None:
-                    next_grid = (t // step_us) * step_us
-                g = next_grid
-                while g <= t:
-                    if g == t:
-                        rows.append((g, float(v), "obs"))
-                    elif last_ts is not None and g - last_ts <= purge_us:
-                        rows.append((g, float(last_val), "locf"))
-                    else:
-                        rows.append((g, None, "none"))
-                    g += step_us
-                next_grid = g
-                last_ts, last_val = t, float(v)
-        if last_ts is not None:
-            state.update((last_ts, last_val, next_grid))
-        out = pd.DataFrame(
-            rows, columns=["g_us", "value_filled", "fill_method"]
+            .drop_duplicates(subset=["ts"], keep="last")
+            if chunks
+            else None
         )
-        out.insert(0, "role", role)
-        out.insert(0, "tool", tool)
-        out.insert(0, "conv_id", conv_id)
-        out["grid_ts"] = pd.to_datetime(
-            out["g_us"].astype("int64"), unit="us"
-        ) if len(out) else pd.Series([], dtype="datetime64[us]")
-        yield out[
-            ["conv_id", "tool", "role", "grid_ts", "value_filled",
-             "fill_method"]
-        ]
+        if obs is None or not len(obs):
+            yield _empty
+            return
+        ts = obs["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = obs["value"].to_numpy(dtype="float64")
+        if last_ts is not None:
+            keep = ts > last_ts  # cross-batch duplicates/regressions
+            ts, vals = ts[keep], vals[keep]
+        if not len(ts):
+            yield _empty
+            return
+        if next_grid is None:
+            next_grid = (int(ts[0]) // step_us) * step_us
+        # all grid points emitted this batch, vectorized: the lattice
+        # from the carried cursor up to the last observation. Each
+        # point classifies by binary search against the observation
+        # array (obs == lattice hit; locf when the previous observation
+        # is within the purge gap; none beyond it) — identical to the
+        # per-point fold, minus the per-row Python loop.
+        top = (int(ts[-1]) // step_us) * step_us
+        grid = np.arange(next_grid, top + 1, step_us, dtype="int64")
+        if len(grid):
+            if last_ts is not None:
+                ats = np.concatenate(([last_ts], ts))
+                avals = np.concatenate(([last_val], vals))
+            else:
+                ats, avals = ts, vals
+            idx = np.searchsorted(ats, grid, side="left")
+            safe = np.minimum(idx, len(ats) - 1)
+            is_obs = ats[safe] == grid
+            psafe = np.maximum(idx - 1, 0)
+            locf = (
+                (idx >= 1)
+                & ((grid - ats[psafe]) <= purge_us)
+                & ~is_obs
+            )
+            value = np.where(
+                is_obs, avals[safe], np.where(locf, avals[psafe], np.nan)
+            )
+            vf = pd.array(value, dtype="Float64")
+            vf[~(is_obs | locf)] = pd.NA
+            method = np.where(
+                is_obs, "obs", np.where(locf, "locf", "none")
+            )
+            next_grid = int(grid[-1]) + step_us
+        state.update(
+            (int(ts[-1]), float(vals[-1]), int(next_grid))
+        )
+        if not len(grid):
+            yield _empty
+            return
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "tool": tool,
+                "role": role,
+                "grid_ts": pd.to_datetime(grid, unit="us"),
+                "value_filled": vf,
+                "fill_method": method,
+            }
+        )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
