@@ -119,3 +119,130 @@ def grid_search(
     for r in results:
         del r["__order"]
     return results
+
+
+def _space_sampler(param_space: dict, rng):
+    """Draw one config from the space. Spec per param:
+    ("int", lo, hi) | ("float", lo, hi) | ("choice", [values])."""
+    p = {}
+    for k in sorted(param_space):
+        spec = param_space[k]
+        if spec[0] == "choice":
+            p[k] = spec[1][rng.randrange(len(spec[1]))]
+        elif spec[0] == "int":
+            p[k] = rng.randint(spec[1], spec[2])
+        elif spec[0] == "float":
+            p[k] = rng.uniform(spec[1], spec[2])
+        else:
+            raise ValueError(f"unknown param spec {spec!r} for {k!r}")
+    return p
+
+
+def _normalize(param_space: dict, p: dict) -> tuple:
+    """Map a config onto the unit cube for surrogate distances."""
+    v = []
+    for k in sorted(param_space):
+        spec = param_space[k]
+        if spec[0] == "choice":
+            idx = spec[1].index(p[k])
+            v.append(idx / max(1, len(spec[1]) - 1))
+        else:
+            lo, hi = spec[1], spec[2]
+            v.append((p[k] - lo) / (hi - lo) if hi > lo else 0.0)
+    return tuple(v)
+
+
+def smbo_search(
+    df: DataFrame,
+    detector: str,
+    param_space: dict,
+    score_fn,
+    n_iter: int = 12,
+    n_init: int = 4,
+    n_candidates: int = 64,
+    explore: float = 0.3,
+    seed: int = 7,
+    **fixed,
+) -> list[dict]:
+    """Sequential model-based optimisation — the analogue of the
+    reference's SMAC loop (reference: parameterTuner/.../
+    ParameterTuner.scala:42-140 drives SMACExecutor with run-obj
+    QUALITY over the ParameterSpec space, each trial a NAB replay).
+
+    The structure is identical — initial design, surrogate fit on
+    evaluated (config, score) pairs, acquisition-maximising next
+    config, repeat under a trial budget — but the surrogate is an
+    inverse-distance-weighted regressor over the unit-cube-normalized
+    space with a nearest-evaluated-distance exploration bonus (a UCB
+    acquisition), instead of SMAC's random forest: every piece is
+    deterministic under ``seed``, which matters more here than model
+    sophistication because each trial is a short fully-distributed
+    ``detect()`` job rather than a single-threaded NAB replay. Invalid
+    configs (params.validated) are rejected before running, like SMAC
+    trials outside the ParameterSpec space.
+
+    Returns the evaluation history sorted best score first (ties by
+    evaluation order — deterministic), same contract as grid_search.
+    """
+    import random
+
+    from streamevmon_spark.operators.detect import detect
+
+    rng = random.Random(seed)
+    history: list[dict] = []
+    xs: list[tuple] = []
+    tried: set = set()
+
+    def try_eval(p: dict) -> bool:
+        key = tuple(sorted(p.items()))
+        if key in tried:
+            return False
+        tried.add(key)
+        full = {**fixed, **p}
+        try:
+            validated(detector, **full)
+        except ValueError:
+            return False
+        events = detect(df, detector, **full).persist()
+        try:
+            n_events = events.count()
+            score = score_fn(events)
+        finally:
+            events.unpersist()
+        history.append(
+            {"params": full, "score": score, "n_events": n_events,
+             "__order": len(history)}
+        )
+        xs.append(_normalize(param_space, p))
+        return True
+
+    attempts = 0
+    while len(history) < min(n_init, n_iter) and attempts < n_iter * 50:
+        attempts += 1
+        try_eval(_space_sampler(param_space, rng))
+
+    while len(history) < n_iter and attempts < n_iter * 50:
+        attempts += 1
+        cands = [_space_sampler(param_space, rng)
+                 for _ in range(n_candidates)]
+        scores = [h["score"] for h in history]
+        s_range = (max(scores) - min(scores)) or 1.0
+        best_c, best_acq = None, None
+        for i, c in enumerate(cands):
+            x = _normalize(param_space, c)
+            dists = [
+                sum((a - b) ** 2 for a, b in zip(x, ex)) ** 0.5
+                for ex in xs
+            ]
+            w = [1.0 / (d + 1e-9) for d in dists]
+            pred = sum(wi * si for wi, si in zip(w, scores)) / sum(w)
+            acq = pred + explore * s_range * min(dists)
+            if best_acq is None or acq > best_acq:
+                best_c, best_acq = c, acq
+        if best_c is None or not try_eval(best_c):
+            continue
+
+    results = sorted(history, key=lambda r: (-r["score"], r["__order"]))
+    for r in results:
+        del r["__order"]
+    return results
