@@ -194,7 +194,11 @@ def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
     job()  # untimed warm-up (JIT, shuffle buffers)
     sig_job()
     wall, sig_wall = 1e9, 1e9
-    for _ in range(2):
+    # repeats knob: large corpora (SPARK_GRAFT_DEDUP_DOCS >= ~500k) take
+    # minutes per job; one timed pass still gives a stable number there
+    # because the wall is long enough to amortise scheduling jitter
+    repeats = int(os.environ.get("SPARK_GRAFT_DEDUP_REPEATS", "2"))
+    for _ in range(repeats):
         t0 = time.perf_counter()
         job()
         wall = min(wall, time.perf_counter() - t0)
