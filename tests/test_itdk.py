@@ -212,3 +212,32 @@ def test_itdk_merge_reduces_graph(spark, sf_dir):
         I.resolve_aliases_itdk(hops, inv).count()
     )
     assert n_merged_hosts < n_raw_hosts_with_node  # real merges happened
+
+
+def test_itdk_plans_are_hash_join_shaped(spark, sf_dir):
+    # dimension-sized mapping joins must broadcast; nothing in the
+    # family may degenerate to a cartesian / nested-loop join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hops = G.path_hops(
+        G.as_inet_paths(
+            G.synth_traceroutes(ev), G.synth_traceroute_meta(ev)
+        )
+    ).localCheckpoint()
+    nodes, as_df, geo = I.synth_itdk(hops)
+    inv = I.itdk_inverted_map(nodes, as_df)
+    for df in (
+        I.itdk_vertices(hops, inv),
+        I.itdk_merged_edges(
+            G.topology_edges(hops), I.resolve_aliases_itdk(hops, inv)
+        ),
+        I.geo_by_node(I.as_by_node(inv.select("node_id").distinct(),
+                                   as_df), geo),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    v_plan = (
+        I.itdk_vertices(hops, inv)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in v_plan
