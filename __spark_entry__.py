@@ -884,6 +884,12 @@ def _itdk_inverted(spark: SparkSession, sf_dir: str):
     return _HOPS_CACHE[key]
 
 
+def _q_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.sources import measurements as M
+
+    return M.parse_line_protocol(M.synth_line_protocol(_events(spark, sf_dir)))
+
+
 def _q_itdk_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1080,6 +1086,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "media_decode_fake": _q_media_decode,
         "media_frame_sample": _q_frame_sample,
+        # --- new this round: quote-aware line-protocol parse (1) ------
+        # reference connectors/influx/LineProtocol.scala — the last
+        # 'partial' §2 row; checked as parse(print(x)) == x incl. the
+        # whole-line rejection classes and ns->ms truncation
+        "line_protocol_parse": _q_line_protocol,
         # --- new this round: ITDK lookup family (4) -------------------
         # reference events/grouping/graph/itdk/* — text parsers +
         # preprocessor join + AS/geo lookups + ITDK alias resolution,
@@ -1089,10 +1100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "itdk_as_geo": _q_itdk_as_geo,
         "itdk_vertices": _q_itdk_vertices,
         "itdk_merged_edges": _q_itdk_merged_edges,
-        # --- sentinel re-certifying the flagship tier path (1) --------
-        "rollup_1m": _q_rollup("1m"),
         # ===== position 50+: r02-green rows (driver record current) ===
         "transcripts": _q_transcripts,
+        "rollup_1m": _q_rollup("1m"),
         "cascade_exact_1d": _q_cascade_exact("1d"),
         "detect_spike": _q_detect(
             "spike", lag=5, threshold=2.0, influence=0.1, purge_s=86400
@@ -1378,6 +1388,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_stream_distances": graph_oracles.stream_distances_oracle(10),
         "graph_topo_links": _graph_topo_links_oracle(),
         "graph_dot": graph_oracles.graph_dot_oracle(),
+        "line_protocol_parse": oracles.line_protocol_parse_oracle(),
         "itdk_lookup": itdk_oracles.lookup_oracle(),
         "itdk_as_geo": itdk_oracles.as_geo_oracle(),
         "itdk_vertices": itdk_oracles.vertices_oracle(),

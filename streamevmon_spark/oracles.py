@@ -2007,3 +2007,42 @@ SELECT conv_id, tool, role,
            AS val_avg
 FROM isl GROUP BY conv_id, tool, role, gid
 """)
+
+
+def line_protocol_parse_oracle() -> str:
+    """Expected output of parse_line_protocol over synth_line_protocol:
+    regenerated directly from the generating grammar (no SQL string
+    parsing) — the gate therefore checks parse(print(x)) == x,
+    including every whole-line rejection class (an entry without '=',
+    an '=' inside a quoted value, a wrong space-part count) and the
+    ns->ms timestamp truncation."""
+    return """
+WITH base AS (
+    SELECT event_id FROM events
+    WHERE event_id % 13 != 0 AND event_id % 17 != 0
+      AND event_id % 19 != 0
+),
+rows_ AS (
+    SELECT event_id AS line_id, 'tag' AS kind, 'stream' AS key,
+           CAST(event_id % 7 AS VARCHAR) AS val
+    FROM base
+    UNION ALL
+    SELECT event_id, 'tag', 'host',
+           concat('"srv, ', event_id % 5, '"')
+    FROM base WHERE event_id % 4 = 0
+    UNION ALL
+    SELECT event_id, 'field', 'count', concat(event_id % 100, 'i')
+    FROM base
+    UNION ALL
+    SELECT event_id, 'field', 'latency',
+           concat(event_id % 50, '.', event_id % 4)
+    FROM base
+    UNION ALL
+    SELECT event_id, 'field', 'msg', concat('"ok ', event_id % 2, '"')
+    FROM base
+)
+SELECT line_id, concat('m', line_id % 3) AS measurement, kind,
+       "key", val,
+       make_timestamp((line_id * 1000 + 123) * 1000) AS time
+FROM rows_
+"""

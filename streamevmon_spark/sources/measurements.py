@@ -291,3 +291,119 @@ def histogram_merge(events: DataFrame, bucket_width: float = 10.0) -> DataFrame:
         .groupBy(*SERIES_KEY, bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("bucket_count"))
     )
+
+
+# regex lookahead asserting the match position is followed by an EVEN
+# number of double quotes — i.e. the separator is not inside a quoted
+# value. The JVM-regex equivalent of the reference's quote-parity walk.
+_UNQUOTED = '(?=(?:[^"]*"[^"]*")*[^"]*$)'
+
+
+def synth_line_protocol(events: DataFrame) -> DataFrame:
+    """Deterministic InfluxDB line-protocol lines derived from the
+    events relation (there is no raw line-protocol feed in the
+    sandbox), exercising every parser branch: quoted values containing
+    separators, entries without '=', wrong space-part counts, and '='
+    inside quoted values (the reference's all-'=' split rejects those
+    lines whole). Mirrored field-for-field by the DuckDB oracle, which
+    regenerates the EXPECTED parse from this grammar directly — the
+    parser is checked as parse(print(x)) == x."""
+    tag2 = (
+        "CASE WHEN event_id % 4 = 0 "
+        "THEN concat(',host=\"srv, ', event_id % 5, '\"') ELSE '' END"
+    )
+    bad_entry = (
+        "CASE WHEN event_id % 13 = 0 THEN ',oops' "
+        "WHEN event_id % 19 = 0 THEN ',eq=\"a=b\"' ELSE '' END"
+    )
+    extra_part = (
+        "CASE WHEN event_id % 17 = 0 THEN ' spurious' ELSE '' END"
+    )
+    return events.select(
+        "event_id",
+        F.expr(
+            "concat('m', event_id % 3, ',stream=', event_id % 7, "
+            + tag2 + ", " + bad_entry + ", "
+            "' count=', event_id % 100, 'i,latency=', "
+            "event_id % 50, '.', event_id % 4, "
+            "',msg=\"ok ', event_id % 2, '\"', "
+            + extra_part + ", "
+            "' ', CAST(event_id * 1000000000 + 123456789 AS STRING))"
+        ).alias("value"),
+    )
+
+
+def parse_line_protocol(lines: DataFrame) -> DataFrame:
+    """InfluxDB line-protocol parse, Spark-first (reference:
+    connectors/influx/LineProtocol.scala:154-224). Semantics mirrored
+    exactly:
+
+    - the line splits on UNQUOTED spaces into exactly 3 parts
+      (measurement+tags, fields, timestamp) — else the line is dropped
+      (apply returns None, :200-203);
+    - each part splits on UNQUOTED commas (splitLineProtocol's
+      quote-parity walk, :154-187 — here a quote-parity regex
+      lookahead, one JVM-side split call);
+    - every tag/field entry must split on ALL '=' characters into
+      exactly 2 parts — quotes are NOT respected by entryToTuple
+      (:189-197), so a quoted value containing '=' rejects the WHOLE
+      line (theTags.contains(None) -> None, :212-214);
+    - the nanosecond timestamp truncates to milliseconds
+      (Instant.ofEpochMilli(NANOSECONDS.toMillis(...)), :220).
+
+    Output: one row per tag/field entry (line_id, measurement, kind,
+    key, val, time) — values keep their quotes, as the reference's
+    Map[String,String] does. Pure codegen expressions, no UDF."""
+    p3 = F.split(F.col("value"), " " + _UNQUOTED)
+    parts = lines.select(
+        F.col("event_id").alias("line_id"),
+        F.col("value"),
+        p3.alias("p"),
+    ).where(F.size("p") == 3)
+    split_eq_ok = (
+        "forall(entries, e -> size(split(e, '=', -1)) = 2)"
+    )
+    exploded = (
+        parts.select(
+            "line_id",
+            F.split(F.col("p").getItem(0), "," + _UNQUOTED).alias("mt"),
+            F.split(F.col("p").getItem(1), "," + _UNQUOTED).alias("fs"),
+            F.col("p").getItem(2).cast("long").alias("time_ns"),
+        )
+        .select(
+            "line_id",
+            F.col("mt").getItem(0).alias("measurement"),
+            F.expr("slice(mt, 2, size(mt) - 1)").alias("tag_entries"),
+            F.col("fs").alias("field_entries"),
+            "time_ns",
+        )
+        # reference rejects the whole line when ANY entry is malformed
+        .where(
+            F.expr(split_eq_ok.replace("entries", "tag_entries"))
+            & F.expr(split_eq_ok.replace("entries", "field_entries"))
+        )
+        .select(
+            "line_id",
+            "measurement",
+            F.explode(
+                F.expr(
+                    "array_union(transform(tag_entries, e -> "
+                    "named_struct('kind', 'tag', 'entry', e)), "
+                    "transform(field_entries, e -> "
+                    "named_struct('kind', 'field', 'entry', e)))"
+                )
+            ).alias("kv"),
+            F.expr(
+                f"timestampadd(MICROSECOND, (time_ns div 1000000) * 1000, "
+                "timestamp_ntz'1970-01-01 00:00:00')"
+            ).alias("time"),
+        )
+    )
+    return exploded.select(
+        "line_id",
+        "measurement",
+        F.col("kv.kind").alias("kind"),
+        F.expr("split(kv.entry, '=', -1)[0]").alias("key"),
+        F.expr("split(kv.entry, '=', -1)[1]").alias("val"),
+        "time",
+    )

@@ -156,3 +156,36 @@ def test_asof_enrich_semantics(spark):
         ("b", 10): (None, None),      # dim row is later
         ("c", 10): (None, None),      # key absent from dim
     }
+
+
+def test_line_protocol_quote_aware_split(spark):
+    from streamevmon_spark.sources.measurements import parse_line_protocol
+
+    lines = spark.createDataFrame(
+        [
+            # quoted comma + quoted space survive inside values
+            (1, 'm,region="us, west" msg="a b",n=4i 1500000000'),
+            # entry without '=' rejects the WHOLE line
+            (2, 'm,bad msg="x" 1500000000'),
+            # '=' inside a quoted value also rejects the whole line
+            # (reference entryToTuple splits on every '=')
+            (3, 'm,t=1 msg="a=b" 1500000000'),
+            # wrong space-part count rejects
+            (4, 'm,t=1 msg="x" 1500000000 extra'),
+            # minimal valid line: no tags, one field
+            (5, "m f=2 2000000999"),
+        ],
+        "event_id long, value string",
+    )
+    out = parse_line_protocol(lines)
+    rows = {(r.line_id, r.kind, r.key): r for r in out.collect()}
+    ids = {lid for (lid, _, _) in rows}
+    assert ids == {1, 5}
+    assert rows[(1, "tag", "region")].val == '"us, west"'
+    assert rows[(1, "field", "msg")].val == '"a b"'
+    assert rows[(1, "field", "n")].val == "4i"
+    # ns -> ms truncation (Instant.ofEpochMilli(NANOSECONDS.toMillis))
+    import datetime as dt
+
+    assert rows[(1, "field", "n")].time == dt.datetime(1970, 1, 1, 0, 0, 1, 500000)
+    assert rows[(5, "field", "f")].time == dt.datetime(1970, 1, 1, 0, 0, 2)
