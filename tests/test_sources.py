@@ -189,3 +189,43 @@ def test_line_protocol_quote_aware_split(spark):
 
     assert rows[(1, "field", "n")].time == dt.datetime(1970, 1, 1, 0, 0, 1, 500000)
     assert rows[(5, "field", "f")].time == dt.datetime(1970, 1, 1, 0, 0, 2)
+
+
+def test_jdbc_range_scan_option_construction(spark):
+    # no PostgreSQL in the sandbox: assert the constructed reader plan
+    # (pushdown subquery with the reference's exclusive/inclusive
+    # boundaries, partitioned read options, 1000-row fetch) via a
+    # capturing stand-in for the DataFrameReader
+    from streamevmon_spark.sources import jdbc as J
+
+    captured = {}
+
+    class FakeReader:
+        def format(self, f):
+            captured["format"] = f
+            return self
+
+        def option(self, k, v):
+            captured[k] = v
+            return self
+
+    class FakeSpark:
+        @property
+        def read(self):
+            return FakeReader()
+
+    J.jdbc_range_scan(
+        FakeSpark(), "jdbc:postgresql://db/amp", "data_amp2.traceroute",
+        "timestamp", "2024-01-01 00:00:00", "2024-01-02 00:00:00",
+        n_partitions=8, properties={"user": "amp"},
+    )
+    assert captured["format"] == "jdbc"
+    assert captured["partitionColumn"] == "timestamp"
+    assert captured["numPartitions"] == "8"
+    assert captured["fetchsize"] == "1000"
+    assert captured["user"] == "amp"
+    assert "timestamp > '2024-01-01 00:00:00'" in captured["dbtable"]
+    assert "timestamp <= '2024-01-02 00:00:00'" in captured["dbtable"]
+
+    J.traceroute_meta_dim(FakeSpark(), "jdbc:postgresql://db/amp")
+    assert captured["dbtable"] == "streams.traceroute"
