@@ -27,7 +27,10 @@ from streamevmon_spark.operators import rollup as R  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: per-(conv_id, tool, role) 1-minute rollup with turn
-    counts, exact inter-turn latency percentiles and activity rates."""
+    counts, inter-turn latency percentiles and activity rates. Runs the
+    guarded default (operators/rollup.rollup_tier): exact percentiles for
+    every window under the density bound, bounded-memory quantile state
+    above it — the task-OOM protection is on by default."""
     df = load_transcripts(spark, "/root/testdata/sf0.001")
     return R.rollup_tier(df, "1m")
 
@@ -798,6 +801,20 @@ def _q_graph_stream_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.stream_distances(edges, meta, max_depth=10)
 
 
+def _q_graph_stream_distances_cc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """stream_distances on the scale path (reachable_only=True): pair
+    generation driven by the BFS relation via equi-joins — no meta x
+    meta cross join, work proportional to co-reachable pairs."""
+    from streamevmon_spark.operators import graph as G
+
+    _, meta = _graph_hops(spark, sf_dir)
+    _, edges = _graph_dims(spark, sf_dir)
+    return G.stream_distances(edges, meta, max_depth=10,
+                              reachable_only=True)
+
+
 def _q_graph_merged_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.operators import graph as G
 
@@ -1101,6 +1118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "itdk_vertices": _q_itdk_vertices,
         "itdk_merged_edges": _q_itdk_merged_edges,
         # ===== position 50+: r02-green rows (driver record current) ===
+        # new r3 (post-window; candidates for the r04 window): the
+        # reachable-only stream-distance scale path
+        "graph_stream_distances_cc": _q_graph_stream_distances_cc,
         "transcripts": _q_transcripts,
         "rollup_1m": _q_rollup("1m"),
         "cascade_exact_1d": _q_cascade_exact("1d"),
@@ -1386,6 +1406,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_anon_merges": graph_oracles.anon_merges_oracle(),
         "graph_merged_edges": graph_oracles.merged_edges_oracle(),
         "graph_stream_distances": graph_oracles.stream_distances_oracle(10),
+        "graph_stream_distances_cc":
+            graph_oracles.stream_distances_cc_oracle(10),
         "graph_topo_links": _graph_topo_links_oracle(),
         "graph_dot": graph_oracles.graph_dot_oracle(),
         "line_protocol_parse": oracles.line_protocol_parse_oracle(),

@@ -216,6 +216,37 @@ LEFT JOIN bfs d ON d.root = a.source AND d.node = b.source
     )
 
 
+def stream_distances_cc_oracle(max_depth: int = 10) -> str:
+    """stream_distances with ``reachable_only=True``: pair generation is
+    the BFS relation itself (INNER join), so pairs whose sources are not
+    connected within ``max_depth`` are absent instead of NULL — the
+    scale path's semantics (operators/graph.stream_distances)."""
+    return (
+        "WITH RECURSIVE " + _BASE + "," + _EDGES + f"""
+, sym AS (
+    SELECT src_uid AS a, dst_uid AS b FROM edges
+    UNION
+    SELECT dst_uid, src_uid FROM edges
+),
+seeds AS (SELECT DISTINCT source AS root FROM meta),
+walk AS (
+    SELECT root, root AS node, 0 AS dist FROM seeds
+    UNION
+    SELECT w.root, s.b, w.dist + 1 FROM walk w JOIN sym s
+        ON w.node = s.a WHERE w.dist < {max_depth}
+),
+bfs AS (SELECT root, node, min(dist) AS dist FROM walk
+        GROUP BY root, node)
+SELECT a.stream AS stream_a, b.stream AS stream_b,
+       CAST(d.dist + d.dist AS INT) AS distance
+FROM bfs d
+JOIN meta a ON d.root = a.source
+JOIN meta b ON d.node = b.source
+WHERE a.stream < b.stream
+"""
+    )
+
+
 _MERGE_MAP = """
 shape AS (
     SELECT DISTINCT stream, path_id, hop_idx, uid,

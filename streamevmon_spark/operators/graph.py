@@ -624,6 +624,7 @@ def stream_distances(
     meta: DataFrame,
     max_depth: int = 10,
     mirror_reference_quirk: bool = True,
+    reachable_only: bool = False,
 ) -> DataFrame:
     """DistanceBetweenStreams for every stream pair (reference:
     grouping/DistanceBetweenStreams.scala:69-87, driven by
@@ -636,7 +637,16 @@ def stream_distances(
     the source path), so the shipped semantics are 2 × d(src_a, src_b).
     ``mirror_reference_quirk=True`` (default) pins that behaviour;
     False computes d(src_a,src_b) + d(dst_a,dst_b). Unreachable pairs
-    (the reference would throw on ``.get``) yield NULL distance."""
+    (the reference would throw on ``.get``) yield NULL distance.
+
+    ``reachable_only=True`` is the scale path: pair generation is driven
+    by the BFS distance relation itself (equi-joins only — no meta x
+    meta cross join), so work and output are proportional to the number
+    of co-reachable pairs instead of all O(n^2) stream pairs; pairs
+    whose sources are not connected within ``max_depth`` are simply
+    absent. The default mirrors the reference (every pair, NULL when
+    unreachable) and is fine while the stream dimension is bounded —
+    the cache in the reference recomputes exactly that table."""
     srcs = meta.select(
         "stream", F.col("source").alias("root")
     )
@@ -646,6 +656,39 @@ def stream_distances(
         else dsts.select("root")
     ).distinct()
     dist = bfs_distances(edges, roots, max_depth)
+    if reachable_only:
+        d = dist.select("root", "uid", "dist")
+        a = meta.select(
+            F.col("stream").alias("stream_a"),
+            F.col("source").alias("root"),
+            F.col("destination").alias("dst_a"),
+        )
+        b = meta.select(
+            F.col("stream").alias("stream_b"),
+            F.col("source").alias("uid"),
+            F.col("destination").alias("dst_b"),
+        )
+        src_pairs = (
+            d.join(a, "root")
+            .join(b, "uid")
+            .where(F.col("stream_a") < F.col("stream_b"))
+        )
+        if mirror_reference_quirk:
+            return src_pairs.select(
+                "stream_a",
+                "stream_b",
+                F.expr("CAST(dist + dist AS INT)").alias("distance"),
+            )
+        dd = dist.select(
+            F.col("root").alias("dst_a"),
+            F.col("uid").alias("dst_b"),
+            F.col("dist").alias("d_dst"),
+        )
+        return src_pairs.join(dd, ["dst_a", "dst_b"]).select(
+            "stream_a",
+            "stream_b",
+            F.expr("CAST(dist + d_dst AS INT)").alias("distance"),
+        )
     m = F.broadcast(meta.select("stream", "source", "destination"))
     pairs = (
         m.alias("a")

@@ -147,7 +147,33 @@ def _with_window_and_quant(with_lat: DataFrame, win_us: int) -> DataFrame:
     )
 
 
-def rollup_tier(df: DataFrame, tier: str = "1m") -> DataFrame:
+# Windows holding more than this many turns switch their percentile
+# state from the exact sorted array to a bounded quantile summary (see
+# rollup_tier_guarded). 100k int64 latencies = ~800 KB per group state —
+# well inside an executor task; beyond it a hot series' whole day in one
+# collect_list is the classic task-OOM at 10^12-turn scale.
+DEFAULT_MAX_EXACT_ROWS = 100_000
+
+
+def rollup_tier(
+    df: DataFrame,
+    tier: str = "1m",
+    max_exact_rows: int | None = DEFAULT_MAX_EXACT_ROWS,
+) -> DataFrame:
+    """Tiered rollup — the flagship path. Guarded by default: windows
+    with more than ``max_exact_rows`` turns are routed to bounded-memory
+    percentile state (native quantile summary) instead of the exact
+    sorted array — task-OOM prevention on the path users actually run
+    at 10^12-turn scale. Pass ``max_exact_rows=None`` for the
+    unconditional exact-array plan (bit-identical output whenever no
+    window exceeds the bound — which is what the oracle gate checks).
+    """
+    if max_exact_rows is not None:
+        return rollup_tier_guarded(df, tier, max_exact_rows)
+    return rollup_tier_exact(df, tier)
+
+
+def rollup_tier_exact(df: DataFrame, tier: str = "1m") -> DataFrame:
     """Declarative tiered rollup — the exact/correctness path.
 
     groupBy(series key, epoch-bucket window) with native aggregates only:
@@ -636,60 +662,49 @@ def rollup_tier_guarded(
     """rollup_tier with a dense-window guard: windows holding more than
     ``max_exact_rows`` turns switch their percentile state from the
     exact sorted array (task-OOM risk: collect_list of a hot series'
-    whole day) to a bounded-size t-digest sketch (functions/tdigest.py).
+    whole day) to Spark's bounded-memory native quantile summary
+    (``percentile_approx``, Greenwald-Khanna at accuracy 10000 — rank
+    error <= n/10000, far inside the 1% tolerance tests assert).
 
-    Routing is decided by a pre-count over the SAME (series, window) key
-    (shuffle shared / AQE-coalesced), so dense windows never materialise
-    an array at all — the failure mode is prevented, not survived.
-    Sparse windows are bit-identical to rollup_tier (same aggregation,
-    same formula); dense windows carry tolerance-tested approximate
-    percentiles (tests/test_tdigest.py accuracy bounds) and exact
-    algebraic columns. Output schema matches rollup_tier exactly, so
-    with a bound no window exceeds the result is hash-identical to the
-    rollup oracle.
+    Single-pass shape: routing is decided by a pre-count per (series,
+    window) computed on the RAW table — no lag() window function, so the
+    pre-pass is a plain scan + map-side-combined count (~1 shuffled row
+    per window). The dense flag joins back (AQE picks broadcast — the
+    flag relation holds only over-bound windows, usually none) and ONE
+    groupBy then computes, per group, EITHER the exact sorted array
+    (sparse: ``when(flag is null)``) OR the bounded summary (dense:
+    ``when(flag)``) — the expensive ordered-lag subtree is evaluated
+    exactly once, everything stays JVM-side, and no group ever holds
+    both states.
+
+    Sparse windows are bit-identical to the exact path (same aggregates,
+    same percentile formula over the same array); dense windows carry
+    tolerance-tested approximate percentiles and exact algebraic
+    columns. Output schema matches rollup_tier_exact exactly, so when no
+    window exceeds the bound the result is hash-identical to the rollup
+    oracle.
     """
-    import pandas as pd
-
-    from streamevmon_spark.operators._partitionwise import (
-        group_starts,
-        partitionwise_apply,
-    )
-
     secs = TIERS[tier]
     win_us = secs * 1_000_000
     keys = [*SERIES_KEY, "__w_us"]
     with_lat = _with_window_and_quant(
         add_inter_turn_latency_bucketed(df), win_us
     )
-    counts = with_lat.groupBy(*keys).agg(F.count(F.lit(1)).alias("__wn"))
+    # row count per (series, window) is independent of the lag column,
+    # so count the raw relation: scan + partial count, no window function
+    wstart = F.expr(
+        f"(datediff(MICROSECOND, {EPOCH_NTZ}, ts) div {win_us}) * {win_us}"
+    )
     dense_keys = (
-        counts.where(F.col("__wn") > max_exact_rows)
+        df.withColumn("__w_us", wstart)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__wn"))
+        .where(F.col("__wn") > max_exact_rows)
         .select(*keys)
         .withColumn("__dense", F.lit(True))
     )
     flagged = with_lat.join(dense_keys, keys, "left")
-
-    sparse_out = _raw_to_final(
-        flagged.where(F.col("__dense").isNull())
-        .groupBy(*SERIES_KEY, F.col("__w_us"))
-        .agg(
-            F.count(F.lit(1)).alias("turn_count"),
-            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
-                "lossy_count"
-            ),
-            F.sum("lat_us").alias("__lat_sum"),
-            F.count("lat_us").alias("__lat_cnt"),
-            F.min("lat_us").alias("__lat_min"),
-            F.max("lat_us").alias("__lat_max"),
-            F.sort_array(F.collect_list("lat_us")).alias("__lat_arr"),
-            F.sum("__val_q").alias("__val_sum"),
-            F.count("__val_q").alias("__val_cnt"),
-        ),
-        secs,
-    )
-
-    dense = flagged.where(F.col("__dense"))
-    dense_alg = dense.groupBy(*SERIES_KEY, F.col("__w_us")).agg(
+    grouped = flagged.groupBy(*SERIES_KEY, F.col("__w_us")).agg(
         F.count(F.lit(1)).alias("turn_count"),
         F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
             "lossy_count"
@@ -698,45 +713,33 @@ def rollup_tier_guarded(
         F.count("lat_us").alias("__lat_cnt"),
         F.min("lat_us").alias("__lat_min"),
         F.max("lat_us").alias("__lat_max"),
+        # exact state only for sparse windows (collect_list skips the
+        # NULLs the CASE produces for dense rows -> empty array, bounded)
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("__dense").isNull(), F.col("lat_us"))
+            )
+        ).alias("__lat_arr"),
+        # bounded summary only for dense windows (NULL-skipping makes
+        # sparse groups pay nothing here)
+        F.percentile_approx(
+            F.when(F.col("__dense"), F.col("lat_us")),
+            F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+            F.lit(10_000),
+        ).alias("__lat_gk"),
+        F.max("__dense").alias("__dense"),
         F.sum("__val_q").alias("__val_sum"),
         F.count("__val_q").alias("__val_cnt"),
     )
 
-    sk_schema = (
-        "conv_id string, tool string, role string, __w_us long, "
-        "lat_p50 double, lat_p95 double, lat_p99 double"
-    )
-
-    def sketch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        from streamevmon_spark.functions.tdigest import TDigest
-
-        starts = group_starts(pdf, keys)
-        ends = np.concatenate([starts[1:], [len(pdf)]])
-        lat = pdf["lat_us"].to_numpy(np.float64) / 1e6
-        heads = pdf.iloc[starts]
-        qs = {0.5: [], 0.95: [], 0.99: []}
-        for s, e in zip(starts, ends):
-            td = TDigest.build(lat[s:e])
-            for q in qs:
-                qs[q].append(td.quantile(q))
-        return pd.DataFrame(
-            {
-                "conv_id": heads["conv_id"].to_numpy(),
-                "tool": heads["tool"].to_numpy(),
-                "role": heads["role"].to_numpy(),
-                "__w_us": heads["__w_us"].to_numpy(np.int64),
-                "lat_p50": qs[0.5],
-                "lat_p95": qs[0.95],
-                "lat_p99": qs[0.99],
-            }
+    def pct(q: float, i: int) -> Column:
+        exact = F.expr(_pct_from_sorted("__lat_arr", q))
+        approx = (
+            F.element_at("__lat_gk", i).cast("double") / 1e6
         )
+        return F.when(F.col("__dense"), approx).otherwise(exact)
 
-    dense_pct = partitionwise_apply(
-        dense.select(*keys, "lat_us"), keys, [], sketch_batch, sk_schema
-    )
-    dense_out = dense_alg.join(dense_pct, keys).select(
+    return grouped.select(
         "conv_id",
         "tool",
         "role",
@@ -755,9 +758,9 @@ def rollup_tier_guarded(
         ).alias("lat_avg"),
         (F.col("__lat_min").cast("double") / 1e6).alias("lat_min"),
         (F.col("__lat_max").cast("double") / 1e6).alias("lat_max"),
-        "lat_p50",
-        "lat_p95",
-        "lat_p99",
+        pct(0.5, 1).alias("lat_p50"),
+        pct(0.95, 2).alias("lat_p95"),
+        pct(0.99, 3).alias("lat_p99"),
         (
             F.col("__val_sum").cast("double")
             / F.col("__val_cnt").cast("double")
@@ -767,4 +770,3 @@ def rollup_tier_guarded(
             F.col("turn_count").cast("double") / F.lit(float(secs))
         ).alias("activity_rate"),
     )
-    return sparse_out.unionByName(dense_out)

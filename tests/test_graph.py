@@ -166,6 +166,31 @@ def test_stream_distances_symmetric_quirk(edges, spark, events):
     assert len(d) == n * (n - 1) // 2
 
 
+def test_stream_distances_reachable_only_matches_non_null(
+    edges, spark, events
+):
+    """The scale path (reachable_only=True) must equal the reference-
+    shaped all-pairs output restricted to its non-NULL rows, and its
+    plan must contain no cross/nested-loop join — pair generation is
+    the BFS relation itself."""
+    meta = G.synth_traceroute_meta(events)
+    full = G.stream_distances(edges, meta, max_depth=10).toPandas()
+    cc_df = G.stream_distances(
+        edges, meta, max_depth=10, reachable_only=True
+    )
+    plan = cc_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    cc = cc_df.toPandas()
+    key = ["stream_a", "stream_b"]
+    exp = (
+        full[full["distance"].notna()]
+        .sort_values(key, ignore_index=True)
+    )
+    got = cc.sort_values(key, ignore_index=True)
+    assert got.astype("object").equals(exp.astype("object")), (got, exp)
+
+
 def test_group_events_topological_links_near_streams(spark):
     groups = spark.createDataFrame(
         [("g1", 0), ("g2", 1), ("g3", 5)], "group_id string, stream int"

@@ -90,11 +90,35 @@ def test_single_shuffle_plan(spark, sf_dir):
     """The lag() window and the groupBy must share one exchange on the
     series key — scale guard: no redundant shuffle at 100 TB."""
     df = load_transcripts(spark, sf_dir)
-    plan = rollup_tier(df, "1m")._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        rollup_tier(df, "1m", max_exact_rows=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     # exchanges: one for row_number (conv_id), one for series key; the
     # groupBy must NOT add a third full exchange of the raw data
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 3, plan
+
+
+def test_guarded_default_evaluates_lag_subtree_once(spark, sf_dir):
+    """rollup_tier's default (guarded) plan must contain the SAME number
+    of Window operators as the exact plan: the dense-routing pre-count
+    is a plain scan + partial count of the raw relation, and the single
+    aggregation pass computes both percentile states — the expensive
+    ordered-lag subtree is never duplicated."""
+    df = load_transcripts(spark, sf_dir)
+    exact_plan = (
+        rollup_tier(df, "1m", max_exact_rows=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    guarded_plan = (
+        rollup_tier(df, "1m")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exact = exact_plan.count("Window [")
+    n_guarded = guarded_plan.count("Window [")
+    assert n_exact >= 1
+    assert n_guarded == n_exact, (n_guarded, n_exact, guarded_plan)
 
 
 def test_rollup_guarded_dense_window_routed_to_sketch(spark):
