@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from streamevmon_spark import (  # noqa: E402
+    amp2_oracles,
     docs_oracles,
     graph_oracles,
     itdk_oracles,
@@ -823,6 +824,40 @@ def _q_graph_merged_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.apply_merges(edges, G.parallel_anonymous_merges(hops))
 
 
+def _amp2_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamevmon_spark.sources import amp2 as A
+
+    return A.synth_amp2_lines(_events(spark, sf_dir))
+
+
+def _q_amp2_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full amp2 createFromLineProtocol: 10 families / 13 concrete
+    types from line protocol, with per-type required-tag rejection,
+    Direction validation and defaultValue/isLossy derivation."""
+    from streamevmon_spark.sources import amp2 as A
+
+    return A.amp2_typed(_amp2_lines(spark, sf_dir))
+
+
+def _q_amp2_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One family's fully-typed relation (throughput: Direction tag,
+    quoted-string duration stripped, double runtime, 'i'-suffixed
+    longs)."""
+    from streamevmon_spark.sources import amp2 as A
+
+    return A.amp2_table(
+        A.line_protocol_maps(_amp2_lines(spark, sf_dir)), "throughput"
+    )
+
+
+def _q_amp2_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The latency supertype union (dns + icmp + tcpping column union,
+    subtype-specific columns NULL where absent)."""
+    from streamevmon_spark.sources import amp2 as A
+
+    return A.amp2_latency_union(_amp2_lines(spark, sf_dir))
+
+
 # topological linkage: groups whose streams are within this quirk-metric
 # distance (2 x src-src hops) are linked; 6 keeps direct-backbone
 # neighbours and cuts anon-detour streams, so the filter is selective
@@ -1119,8 +1154,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "itdk_merged_edges": _q_itdk_merged_edges,
         # ===== position 50+: r02-green rows (driver record current) ===
         # new r3 (post-window; candidates for the r04 window): the
-        # reachable-only stream-distance scale path
+        # reachable-only stream-distance scale path and the amp2
+        # line-protocol ingest family
         "graph_stream_distances_cc": _q_graph_stream_distances_cc,
+        "amp2_typed": _q_amp2_typed,
+        "amp2_throughput": _q_amp2_throughput,
+        "amp2_latency": _q_amp2_latency,
         "transcripts": _q_transcripts,
         "rollup_1m": _q_rollup("1m"),
         "cascade_exact_1d": _q_cascade_exact("1d"),
@@ -1408,6 +1447,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_stream_distances": graph_oracles.stream_distances_oracle(10),
         "graph_stream_distances_cc":
             graph_oracles.stream_distances_cc_oracle(10),
+        "amp2_typed": amp2_oracles.amp2_typed_oracle(),
+        "amp2_throughput": amp2_oracles.amp2_throughput_oracle(),
+        "amp2_latency": amp2_oracles.amp2_latency_oracle(),
         "graph_topo_links": _graph_topo_links_oracle(),
         "graph_dot": graph_oracles.graph_dot_oracle(),
         "line_protocol_parse": oracles.line_protocol_parse_oracle(),
