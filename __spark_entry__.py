@@ -1039,12 +1039,12 @@ def _q_embs(fn: str, **kw):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS gate checks exactly the
-    # first 50 entries. Rounds 1-2 left 45 queries driver-unrecorded (34
-    # never checked in any round, 11 last checked in r01), so this dict
-    # leads with those 45, then 4 sentinels re-certifying the code paths
-    # changed this round (guarded-default rollup, cascade, detectors,
-    # event grouping). The r02-green remainder follows after position 50;
-    # the union of r01+r02+r03 driver records then covers every query.
+    # first 50 entries. This dict leads with every query that has never
+    # appeared in a driver CORRECTNESS record (43 as of r3: the 34 rounds
+    # 1-2 left unrecorded plus 9 new this round), then the most-stale
+    # r01-only rows fill the window to 50. The r01/r02-green remainder
+    # follows after position 50; the union of r01+r02+r03 driver records
+    # then covers every registered query.
     return {
         # --- never driver-checked (34) -------------------------------
         # topology-graph family (reference events/grouping/graph/*):
@@ -1129,15 +1129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_simhash": _q_docs("dedup", "simhash_fingerprints"),
         # training-data pipeline: text analysis over documents
-        "token_counts": _q_docs("textstats", "token_counts"),
-        "quality_scores": _q_docs("textstats", "quality_scores"),
-        "lang_id": _q_docs("textstats", "lang_id"),
         "doc_fingerprints": _q_docs("textstats", "fingerprints"),
         # multimodal columns (binary payload + typed metadata; decode
         # stubbed behind a deterministic fake — see operators/multimodal)
         "media_metadata": _q_media_metadata,
         "media_decode_fake": _q_media_decode,
-        "media_frame_sample": _q_frame_sample,
         # --- new this round: quote-aware line-protocol parse (1) ------
         # reference connectors/influx/LineProtocol.scala — the last
         # 'partial' §2 row; checked as parse(print(x)) == x incl. the
@@ -1152,14 +1148,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "itdk_as_geo": _q_itdk_as_geo,
         "itdk_vertices": _q_itdk_vertices,
         "itdk_merged_edges": _q_itdk_merged_edges,
-        # ===== position 50+: r02-green rows (driver record current) ===
-        # new r3 (post-window; candidates for the r04 window): the
-        # reachable-only stream-distance scale path and the amp2
-        # line-protocol ingest family
+        # --- new this round: reachable-only stream distances + the amp2
+        # line-protocol ingest family (4) — never driver-checked, so they
+        # outrank r01-green rows for the window
         "graph_stream_distances_cc": _q_graph_stream_distances_cc,
         "amp2_typed": _q_amp2_typed,
         "amp2_throughput": _q_amp2_throughput,
         "amp2_latency": _q_amp2_latency,
+        # ===== position 50+: r01/r02-green rows (driver record held) ===
+        # displaced r01-green rows (untouched pure-builtin transforms;
+        # media_frame_sample is rows-only by design — its hash-checked
+        # twin media_frame_digests sits inside the window)
+        "token_counts": _q_docs("textstats", "token_counts"),
+        "quality_scores": _q_docs("textstats", "quality_scores"),
+        "lang_id": _q_docs("textstats", "lang_id"),
+        "media_frame_sample": _q_frame_sample,
         "transcripts": _q_transcripts,
         "rollup_1m": _q_rollup("1m"),
         "cascade_exact_1d": _q_cascade_exact("1d"),
