@@ -614,6 +614,33 @@ def _q_stream_detect_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_detect_windowed_distdiff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The windowed (per-tumbling-window, no-hysteresis) distribution
+    test as a streaming stateful operator: the carried state is the
+    current window bucket plus the bounded first-2n buffer, so drained
+    streaming output equals the batch detect_windowed_distdiff and its
+    window-replay oracle bit for bit (reference:
+    detectors/distdiff/WindowedDistDiffDetector.scala:54-149)."""
+    import uuid
+
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    path = _stream_input(spark, sf_dir)
+    name = f"q_swd_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_detect(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            "windowed_distdiff", window_s=7 * 86400, recents_count=4,
+            drop_extreme_n=0, z_threshold=0.5, minimum_change=1.02,
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 def _q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment: every click event carries the latest
     error state (ts + value) for the same user as of the click time —
@@ -1243,6 +1270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detector and its window-SQL oracle
         "stream_detect_loss": _q_stream_detect_loss,
         "stream_detect_spike": _q_stream_detect_spike,
+        # new r3 (post-window; candidate for the r04 window): the last
+        # detector missing a streaming form — per-window bounded-buffer
+        # state through the same generic blob-state wrapper
+        "stream_detect_windowed_distdiff": (
+            _q_stream_detect_windowed_distdiff
+        ),
     }
 
 
@@ -1370,6 +1403,12 @@ def oracle_sql() -> dict[str, str]:
                 "(CASE WHEN turn_idx < 8 THEN 10000.0 + value"
                 " ELSE 40000.0 + value END)"
             ),
+        ),
+        "stream_detect_windowed_distdiff": (
+            oracles.windowed_distdiff_oracle(
+                window_s=7 * 86400, recents_count=4, drop_extreme_n=0,
+                z_threshold=0.5, minimum_change=1.02,
+            )
         ),
         "flows_dag": (
             "SELECT * FROM ("

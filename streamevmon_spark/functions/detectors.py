@@ -123,6 +123,9 @@ __all__ = [
     "changepoint_events",
     "changepoint_fold",
     "fresh_changepoint_state",
+    "windowed_distdiff_events",
+    "windowed_distdiff_fold",
+    "fresh_windowed_distdiff_state",
     "DETECTORS",
     "DETECTOR_FOLDS",
 ]
@@ -1189,7 +1192,18 @@ def windowed_distdiff_events(
     old_sum, rec_sum = sum(old), sum(rec)
     old_range = max(old) - min(old)
     rec_range = max(rec) - min(rec)
-    change = old_sum / rec_sum if old_sum > rec_sum else rec_sum / old_sum
+    # Scala Double division: x/0.0 is ±Inf and 0.0/0.0 is NaN
+    # (WindowedDistDiffDetector shares DistDiffLogic) — Python raises
+    # instead, so mirror IEEE-754 explicitly for the zero-sum edge
+    hi, lo = (
+        (old_sum, rec_sum) if old_sum > rec_sum else (rec_sum, old_sum)
+    )
+    if lo != 0.0:
+        change = hi / lo
+    elif hi == 0.0:
+        change = math.nan
+    else:
+        change = math.copysign(math.inf, hi)
     if change < minimum_change or abs(old_sum - rec_sum) < recents_count:
         return []
     old_mean = old_sum / len(old)
@@ -1212,6 +1226,64 @@ def windowed_distdiff_events(
             ),
         }
     ]
+
+
+def fresh_windowed_distdiff_state() -> dict:
+    return {"w_us": None, "buf_v": [], "buf_t": [], "done": False}
+
+
+def windowed_distdiff_fold(
+    values: np.ndarray,
+    ts_us: np.ndarray,
+    state: dict,
+    window_s: int = 3600,
+    recents_count: int = 20,
+    minimum_change: float = 1.05,
+    z_threshold: float = 5.0,
+    drop_extreme_n: int = 2,
+) -> list[dict]:
+    """Streaming form of ``windowed_distdiff_events``: tumbling windows
+    are independent and the single test per window reads exactly the
+    first ``2*recents_count`` non-lossy values, so the carried state is
+    just the current window bucket plus that bounded buffer (with a
+    done-latch once the window's test has fired). Bit-equal to the
+    batch operator when points arrive in (ts, turn_idx) order — the
+    same ordering contract as every other fold in DETECTOR_FOLDS
+    (reference: detectors/distdiff/WindowedDistDiffDetector.scala:54-149
+    run inside Flink's tumbling event-time window,
+    runners/unified/schema/TypedStreams.scala:70-72). Event-time is
+    assumed ≥ epoch, matching the batch bucketing expression."""
+    v = np.asarray(values, dtype=np.float64)
+    t = np.asarray(ts_us, dtype=np.int64)
+    win_us = int(window_s) * 1_000_000
+    need = 2 * recents_count
+    out: list[dict] = []
+    for i in range(v.size):
+        w = (int(t[i]) // win_us) * win_us
+        if state["w_us"] != w:
+            state["w_us"] = w
+            state["buf_v"] = []
+            state["buf_t"] = []
+            state["done"] = False
+        if state["done"] or math.isnan(v[i]):
+            continue
+        state["buf_v"].append(float(v[i]))
+        state["buf_t"].append(int(t[i]))
+        if len(state["buf_v"]) == need:
+            out.extend(
+                windowed_distdiff_events(
+                    np.asarray(state["buf_v"], dtype=np.float64),
+                    np.asarray(state["buf_t"], dtype=np.int64),
+                    recents_count=recents_count,
+                    minimum_change=minimum_change,
+                    z_threshold=z_threshold,
+                    drop_extreme_n=drop_extreme_n,
+                )
+            )
+            state["done"] = True
+            state["buf_v"] = []
+            state["buf_t"] = []
+    return out
 
 
 DETECTORS = {
@@ -1255,4 +1327,8 @@ DETECTOR_FOLDS = {
     "mode": (fresh_mode_state, mode_fold),
     "distdiff": (fresh_distdiff_state, distdiff_fold),
     "changepoint": (fresh_changepoint_state, changepoint_fold),
+    "windowed_distdiff": (
+        fresh_windowed_distdiff_state,
+        windowed_distdiff_fold,
+    ),
 }

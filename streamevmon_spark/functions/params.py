@@ -88,6 +88,16 @@ DETECTOR_SPECS: dict[str, tuple[list[ParamSpec], list[LessThan]]] = {
         ],
         [LessThan("drop_extreme_n", "recents_count")],
     ),
+    "windowed_distdiff": (
+        [
+            ParamSpec("window_s", 3600, 1, None),
+            ParamSpec("recents_count", 20, 1, 600),
+            ParamSpec("drop_extreme_n", 2, 0, 300),
+            ParamSpec("z_threshold", 5.0, 0.0, None),
+            ParamSpec("minimum_change", 1.05, 1.0, None),
+        ],
+        [LessThan("drop_extreme_n", "recents_count")],
+    ),
     "loss": (
         [
             ParamSpec("max_history", 30, 1, 600),

@@ -57,11 +57,17 @@ def test_spec_defaults_match_kernel_signature_defaults():
     (the mode purge_s=180-vs-60 regression class)."""
     import inspect
 
-    from streamevmon_spark.functions.detectors import DETECTORS
+    from streamevmon_spark.functions.detectors import (
+        DETECTOR_FOLDS,
+        DETECTORS,
+    )
     from streamevmon_spark.functions.params import DETECTOR_SPECS
 
     for name, (specs, _) in DETECTOR_SPECS.items():
-        sig = inspect.signature(DETECTORS[name])
+        # windowed_distdiff has no whole-series batch kernel (the batch
+        # operator windows externally); its fold carries the defaults
+        kernel = DETECTORS.get(name) or DETECTOR_FOLDS[name][1]
+        sig = inspect.signature(kernel)
         kernel_defaults = {
             p.name: p.default
             for p in sig.parameters.values()

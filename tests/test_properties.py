@@ -219,6 +219,11 @@ DETECTOR_FOLD_PARAMS = {
     "changepoint": dict(max_history=8, trigger_count=2,
                         ignore_outlier_normal_count=1, purge_s=10**6,
                         minimum_event_interval_s=0, severity_threshold=0),
+    # windowed: 60 s windows roll over within the generated gap range, so
+    # splits land both mid-buffer and across window resets
+    "windowed_distdiff": dict(window_s=60, recents_count=3,
+                              drop_extreme_n=1, z_threshold=0.0,
+                              minimum_change=1.0),
 }
 
 
@@ -240,11 +245,15 @@ def test_any_detector_fold_split_equals_whole(detector, series, split):
     vals, ts = series
     params = DETECTOR_FOLD_PARAMS[detector]
     split = min(split, vals.size)
+    fresh, fold = DETECTOR_FOLDS[detector]
     if detector == "loss":
         whole = DETECTORS[detector](np.isnan(vals), ts, **params)
+    elif detector == "windowed_distdiff":
+        # no whole-series DETECTORS entry (the batch operator groups by
+        # window externally); the invariant is fold-resume == one-shot fold
+        whole = fold(vals, ts, fresh(), **params)
     else:
         whole = DETECTORS[detector](vals, ts, **params)
-    fresh, fold = DETECTOR_FOLDS[detector]
     st_ = fresh()
     a = fold(vals[:split], ts[:split], st_, **params)
     st_ = pickle.loads(pickle.dumps(st_, protocol=4))  # streaming codec

@@ -146,6 +146,47 @@ def test_stream_detect_generic_mode_equals_batch(spark, sf_dir):
     )
 
 
+def test_stream_detect_windowed_distdiff_equals_batch(spark, sf_dir):
+    """The per-tumbling-window distribution test as a streaming fold:
+    window-bucket + bounded first-2n buffer state crosses micro-batches
+    and drained output equals the batch detect_windowed_distdiff."""
+    import pandas as pd
+
+    from streamevmon_spark.operators.detect import detect_windowed_distdiff
+
+    kw = dict(window_s=7 * 86400, recents_count=4, drop_extreme_n=0,
+              z_threshold=0.5, minimum_change=1.02)
+    # embed a level shift so windows whose first 2n values straddle
+    # turn_idx 8 actually fire at test scale (same trick as changepoint)
+    shifted = (
+        F.when(F.col("turn_idx") < 8, F.lit(100.0) + F.col("value"))
+        .otherwise(F.lit(40000.0) + F.col("value"))
+    )
+    path = _input_dir(spark, sf_dir)
+    name = f"swd_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_detect(
+            S.stream_transcripts(
+                spark, path, max_files_per_trigger=1
+            ).withColumn("value", shifted),
+            "windowed_distdiff", **kw,
+        ),
+        name,
+        output_mode="append",
+    )
+    got = spark.table(name)
+    exp = detect_windowed_distdiff(
+        load_transcripts(spark, sf_dir).withColumn("value", shifted), **kw
+    )
+    cols = ["event_type", "conv_id", "tool", "role", "severity", "ts",
+            "detection_latency_us", "description"]
+    g, x = _sorted_pdf(got, cols), _sorted_pdf(exp, cols)
+    assert len(x) > 0
+    pd.testing.assert_frame_equal(
+        g.astype({"severity": "int64"}), x.astype({"severity": "int64"})
+    )
+
+
 def test_stream_detect_generic_changepoint_equals_batch(spark, sf_dir):
     """Bayesian run arrays + rollback snapshot cross micro-batches via
     the pickled blob state; drained output equals the batch kernel."""
