@@ -114,6 +114,84 @@ def decompress_chunks(chunks: DataFrame) -> DataFrame:
     return chunks.mapInPandas(decode, schema=schema)
 
 
+def compact_chunks(
+    chunks: DataFrame, chunk_tier: str = "1d"
+) -> DataFrame:
+    """Compaction (Iceberg rewrite-data-files analogue) for chunk
+    tables: merge the many small blobs incremental runs leave inside
+    the same (series, target chunk bucket) — fragments of one bucket
+    and/or finer-tier chunks — into exactly one blob pair per bucket.
+
+    Scale shape: the shuffle moves COMPRESSED blobs (≪ raw points),
+    never decoded rows — repartition on (series, target bucket) →
+    sortWithinPartitions → one vectorized decode+concat+re-encode pass
+    per Arrow batch, so executor memory is bounded by the target chunk
+    size exactly as in compress_chunks. Output blobs are byte-identical
+    to a from-scratch ``compress_chunks`` build at the target tier
+    (asserted in tests/test_chunks.py), so compaction is idempotent
+    and transparent to every chunk reader.
+    (reference intent: the buffered rewrite-on-failure sink semantics
+    `flink/sinks/influx/InfluxSinkFunction.scala:176-213` extended to
+    the north rule's retention/compaction maintenance path)
+    """
+    chunk_us = TIERS[chunk_tier] * 1_000_000
+    prepped = chunks.select(
+        *SERIES_KEY,
+        F.col("chunk_us").alias("__frag"),
+        F.col("ts_dod"),
+        F.col("values_gorilla"),
+    ).withColumn("__chunk", F.expr(f"(__frag div {chunk_us}) * {chunk_us}"))
+
+    def compact_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        from streamevmon_spark.functions.codecs import (
+            dod_decode,
+            dod_encode_many,
+            gorilla_decode,
+            gorilla_encode_many,
+        )
+
+        starts = group_starts(pdf, _GROUP_KEYS)
+        ts_parts = [dod_decode(bytes(b)) for b in pdf["ts_dod"]]
+        vs_parts = [gorilla_decode(bytes(b)) for b in pdf["values_gorilla"]]
+        row_lens = np.array([t.size for t in ts_parts], dtype=np.int64)
+        pt_offsets = np.concatenate([[0], np.cumsum(row_lens)])
+        t_all = (
+            np.concatenate(ts_parts) if ts_parts
+            else np.empty(0, np.int64)
+        )
+        v_all = (
+            np.concatenate(vs_parts) if vs_parts
+            else np.empty(0, np.float64)
+        )
+        # per-point group id, then a stable in-group ts sort: fragments
+        # of one bucket may interleave in time, and the re-encoded blob
+        # must be the canonical sorted-points encoding
+        row_group = np.zeros(len(pdf), dtype=np.int64)
+        row_group[starts] = 1
+        row_group = np.cumsum(row_group) - 1
+        pt_group = np.repeat(row_group, row_lens)
+        order = np.lexsort((t_all, pt_group))
+        t_all, v_all = t_all[order], v_all[order]
+        pt_starts = pt_offsets[starts]
+        heads = pdf.iloc[starts]
+        counts = np.diff(np.concatenate([pt_starts, [t_all.size]]))
+        return pd.DataFrame(
+            {
+                "conv_id": heads["conv_id"].to_numpy(),
+                "tool": heads["tool"].to_numpy(),
+                "role": heads["role"].to_numpy(),
+                "chunk_us": heads["__chunk"].to_numpy(np.int64),
+                "n_points": counts.astype(np.int32),
+                "ts_dod": dod_encode_many(t_all, pt_starts),
+                "values_gorilla": gorilla_encode_many(v_all, pt_starts),
+            }
+        )
+
+    return partitionwise_apply(
+        prepped, _GROUP_KEYS, ["__frag"], compact_batch, CHUNK_SCHEMA
+    )
+
+
 def chunk_table(
     df: DataFrame,
     grid_tier: str = "1m",

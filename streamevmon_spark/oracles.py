@@ -187,6 +187,24 @@ def chunk_roundtrip_oracle(
     )
 
 
+def chunk_compact_stats_oracle(
+    tier: str, method: str, chunk_tier: str = "1d", purge_gap_s: int = 600
+) -> str:
+    """Oracle for compacted-chunk metadata: the gap-filled grid
+    re-bucketed at the target chunk tier with per-bucket point counts —
+    exactly one row per (series, bucket) with the merged n_points."""
+    inner = gapfill_oracle(tier, method, purge_gap_s)
+    chunk_us = TIERS[chunk_tier] * 1_000_000
+    return (
+        "SELECT conv_id, tool, role, "
+        f"(epoch_us(grid_ts) // {chunk_us}) * {chunk_us} AS chunk_us, "
+        "CAST(COUNT(*) AS INTEGER) AS n_points "
+        f"FROM ({inner}) g "
+        "GROUP BY conv_id, tool, role, "
+        f"(epoch_us(grid_ts) // {chunk_us}) * {chunk_us}"
+    )
+
+
 def inter_turn_latency_oracle() -> str:
     body = f"""
 , {_LAT_CTE}

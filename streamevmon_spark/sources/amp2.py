@@ -152,6 +152,18 @@ AMP2_TYPES: dict[str, dict] = {
 }
 
 
+def _quote_aware_split(src: str, sep: str) -> str:
+    """SQL for a quote-parity split with a linear fast path: a string
+    containing no '\"' splits identically with the plain (codegen,
+    O(len)) split, so the O(len^2) lookahead regex only runs on the
+    minority of lines that actually carry quoted values."""
+    return (
+        f"CASE WHEN NOT contains({src}, '\"') "
+        f"THEN split({src}, '{sep}', -1) "
+        f"ELSE split({src}, '{sep}{_UNQUOTED}', -1) END"
+    )
+
+
 def line_protocol_maps(lines: DataFrame) -> DataFrame:
     """Line-protocol parse to map-typed columns: (line_id, measurement,
     tags map<string,string>, fields map<string,string>, time). Same
@@ -159,41 +171,46 @@ def line_protocol_maps(lines: DataFrame) -> DataFrame:
     sources.measurements.parse_line_protocol (quote-parity splits,
     3-part lines, all-'=' entry split, ns->ms truncation), but the
     entries stay as maps in one projection — no explode, no shuffle —
-    which is the shape typed extraction wants."""
-    p3 = F.split(F.col("value"), " " + _UNQUOTED)
+    which is the shape typed extraction wants. Each entry is split on
+    '=' exactly once (the kv arrays feed both the rejection predicate
+    and the map build)."""
     parts = lines.select(
-        F.col("event_id").alias("line_id"), p3.alias("p")
+        F.col("event_id").alias("line_id"),
+        F.expr(_quote_aware_split("value", " ")).alias("p"),
     ).where(F.size("p") == 3)
-    split_eq_ok = "forall(__ARR__, e -> size(split(e, '=', -1)) = 2)"
+    kv_ok = "forall(__KV__, kv -> size(kv) = 2)"
     to_map = (
-        "map_from_entries(transform(__ARR__, e -> "
-        "struct(split(e, '=', -1)[0], split(e, '=', -1)[1])))"
+        "map_from_entries(transform(__KV__, kv -> "
+        "struct(kv[0], kv[1])))"
     )
     return (
         parts.select(
             "line_id",
-            F.split(F.col("p").getItem(0), "," + _UNQUOTED).alias("mt"),
-            F.split(F.col("p").getItem(1), "," + _UNQUOTED).alias("fs"),
+            F.expr(_quote_aware_split("p[0]", ",")).alias("mt"),
+            F.expr(_quote_aware_split("p[1]", ",")).alias("fs"),
             F.col("p").getItem(2).cast("long").alias("time_ns"),
         )
         .select(
             "line_id",
             F.col("mt").getItem(0).alias("measurement"),
-            F.expr("slice(mt, 2, size(mt) - 1)").alias("tag_entries"),
-            F.col("fs").alias("field_entries"),
+            F.expr(
+                "transform(slice(mt, 2, size(mt) - 1),"
+                " e -> split(e, '=', -1))"
+            ).alias("tag_kvs"),
+            F.expr("transform(fs, e -> split(e, '=', -1))").alias(
+                "field_kvs"
+            ),
             "time_ns",
         )
         .where(
-            F.expr(split_eq_ok.replace("__ARR__", "tag_entries"))
-            & F.expr(split_eq_ok.replace("__ARR__", "field_entries"))
+            F.expr(kv_ok.replace("__KV__", "tag_kvs"))
+            & F.expr(kv_ok.replace("__KV__", "field_kvs"))
         )
         .select(
             "line_id",
             "measurement",
-            F.expr(to_map.replace("__ARR__", "tag_entries")).alias(
-                "tags"
-            ),
-            F.expr(to_map.replace("__ARR__", "field_entries")).alias(
+            F.expr(to_map.replace("__KV__", "tag_kvs")).alias("tags"),
+            F.expr(to_map.replace("__KV__", "field_kvs")).alias(
                 "fields"
             ),
             F.expr(
@@ -299,51 +316,157 @@ def amp2_table(parsed: DataFrame, type_key: str) -> DataFrame:
     )
 
 
+def _type_cond(spec: dict, mname: str) -> Column:
+    cond = F.col("measurement") == mname
+    if "test" in spec:
+        cond = cond & (
+            F.element_at(F.col("tags"), F.lit("test")) == spec["test"]
+        )
+    return cond
+
+
+def _type_exprs(spec: dict, mname: str) -> tuple[Column, Column, Column]:
+    """(required-tags-valid, stream-key, default-value) for one type —
+    the same expressions amp2_table builds, reused by the one-pass
+    dispatch."""
+    base = {
+        "source": _tag_col("source", "str"),
+        "destination": _tag_col("destination", "str"),
+        "test": _tag_col("test", "str"),
+    }
+    tag_cols = {n: _tag_col(n, k) for n, k in spec["tags"]}
+    required = list(base.values()) + list(tag_cols.values())
+    valid = required[0].isNotNull()
+    for c in required[1:]:
+        valid = valid & c.isNotNull()
+    stream = F.concat_ws(
+        AMP2_SEP,
+        F.lit(mname),
+        base["source"],
+        base["destination"],
+        base["test"],
+        *[_tag_str_repr(tag_cols[n], k) for n, k in spec["tags"]],
+    )
+    default_value = _field_col(
+        spec["default"], dict(spec["fields"])[spec["default"]]
+    ).cast("double")
+    return valid, stream, default_value
+
+
 def amp2_typed(lines: DataFrame) -> DataFrame:
     """The createFromLineProtocol summary over every family: one row per
     accepted line with (line_id, measurement, subtype, stream, time,
     default_value, is_lossy). Lines whose measurement name matches no
     family, whose latency ``test`` is not dns/icmp/tcpping, or whose
     required tags are missing/unconvertible are absent — exactly the
-    reference's None/throw set."""
+    reference's None/throw set.
+
+    Scale shape: ONE pass over the parsed relation — the 13-type
+    dispatch is a chained CASE on (measurement, test) inside a single
+    projection (the Catalyst analogue of the reference's match
+    statement, Amp2Measurement.scala:96-113), not a 13-branch
+    filter+union that would rescan the parse per family."""
     parsed = line_protocol_maps(lines)
-    outs = []
+    subtype = stream = dval = valid = None
     for type_key, spec in AMP2_TYPES.items():
         mname = spec.get("measurement", type_key)
-        t = amp2_table(parsed, type_key).select(
+        cond = _type_cond(spec, mname)
+        v, s, d = _type_exprs(spec, mname)
+        if subtype is None:
+            subtype = F.when(cond, F.lit(type_key))
+            stream = F.when(cond, s)
+            dval = F.when(cond, d)
+            valid = F.when(cond, v)
+        else:
+            subtype = subtype.when(cond, F.lit(type_key))
+            stream = stream.when(cond, s)
+            dval = dval.when(cond, d)
+            valid = valid.when(cond, v)
+    dval = dval.cast("double")
+    return (
+        parsed.select(
             "line_id",
-            F.lit(mname).alias("measurement"),
-            "subtype",
-            "stream",
+            "measurement",
+            subtype.alias("subtype"),
+            stream.alias("stream"),
             "time",
-            "default_value",
-            "is_lossy",
+            dval.alias("default_value"),
+            dval.isNull().alias("is_lossy"),
+            valid.alias("__valid"),
         )
-        outs.append(t)
-    result = outs[0]
-    for t in outs[1:]:
-        result = result.unionByName(t)
-    return result
+        .where(F.col("subtype").isNotNull() & F.col("__valid"))
+        .drop("__valid")
+    )
 
 
 def amp2_latency_union(lines: DataFrame) -> DataFrame:
     """The Latency family with the reference's union column set
     (Amp2Measurement.getColumnNamesLatency: dns + icmp + tcpping column
     union — subtype-specific tags NULL where not applicable)."""
+    # ONE pass, like amp2_typed: subtype dispatch is a chained CASE on
+    # the test tag; subtype-specific tag columns are NULL where the
+    # subtype doesn't declare them (the union column set of
+    # Amp2Measurement.getColumnNamesLatency)
     parsed = line_protocol_maps(lines)
-    dns = amp2_table(parsed, "latency-dns")
-    icmp = amp2_table(parsed, "latency-icmp")
-    tcp = amp2_table(parsed, "latency-tcpping")
+    keys = ("latency-dns", "latency-icmp", "latency-tcpping")
+    specs = {k: AMP2_TYPES[k] for k in keys}
+    conds = {k: _type_cond(specs[k], "latency") for k in keys}
+    subtype = stream = dval = valid = None
+    for k in keys:
+        v, s, d = _type_exprs(specs[k], "latency")
+        if subtype is None:
+            subtype = F.when(conds[k], F.lit(k))
+            stream = F.when(conds[k], s)
+            dval = F.when(conds[k], d)
+            valid = F.when(conds[k], v)
+        else:
+            subtype = subtype.when(conds[k], F.lit(k))
+            stream = stream.when(conds[k], s)
+            dval = dval.when(conds[k], d)
+            valid = valid.when(conds[k], v)
+    dval = dval.cast("double")
+
+    def tag_union(name: str) -> Column:
+        col = None
+        for k in keys:
+            kinds = dict(specs[k]["tags"])
+            if name not in kinds:
+                continue
+            e = _tag_col(name, kinds[name])
+            col = (
+                F.when(conds[k], e) if col is None
+                else col.when(conds[k], e)
+            )
+        return col
+
+    # field set is identical across the three subtypes
+    field_kinds = dict(specs["latency-dns"]["fields"])
     return (
-        dns.unionByName(icmp, allowMissingColumns=True)
-        .unionByName(tcp, allowMissingColumns=True)
-        .select(
-            "line_id", "subtype", "source", "destination", "test",
-            "time", "stream", "dscp", "family", "query", "packet_size",
-            "port", "random", "count", "error_code", "error_type",
-            "icmpcode", "icmptype", "loss", "rtt", "default_value",
-            "is_lossy",
+        parsed.select(
+            "line_id",
+            subtype.alias("subtype"),
+            _tag_col("source", "str").alias("source"),
+            _tag_col("destination", "str").alias("destination"),
+            _tag_col("test", "str").alias("test"),
+            "time",
+            stream.alias("stream"),
+            tag_union("dscp").alias("dscp"),
+            tag_union("family").alias("family"),
+            tag_union("query").alias("query"),
+            tag_union("packet_size").alias("packet_size"),
+            tag_union("port").alias("port"),
+            tag_union("random").alias("random"),
+            *[
+                _field_col(n, field_kinds[n]).alias(n)
+                for n in ("count", "error_code", "error_type",
+                          "icmpcode", "icmptype", "loss", "rtt")
+            ],
+            dval.alias("default_value"),
+            dval.isNull().alias("is_lossy"),
+            valid.alias("__valid"),
         )
+        .where(F.col("subtype").isNotNull() & F.col("__valid"))
+        .drop("__valid")
     )
 
 
@@ -451,7 +574,7 @@ def synth_amp2_lines(events: DataFrame) -> DataFrame:
         "CASE WHEN event_id % 5 = 0 THEN '' ELSE "
         "concat(',playing_time=', event_id % 10000, 'i') END) END"
     )
-    return events.select(
+    lines = events.select(
         "event_id",
         F.expr(
             f"concat({mname}, ',source=amp-', event_id % 7, "
@@ -460,3 +583,11 @@ def synth_amp2_lines(events: DataFrame) -> DataFrame:
             "CAST(event_id * 1000000000 + 123456789 AS STRING))"
         ).alias("value"),
     )
+    # Materialize at the source: the generator is one giant concat/CASE
+    # expression, and without a materialization barrier the parser's
+    # quote-aware splits (which reference `value` several times) inline
+    # it per reference — projection collapse multiplies the expression
+    # tree combinatorially through the 3-level parse + 13-type dispatch
+    # and can OOM the codegen layer. This is the "read lines from
+    # storage" boundary a real ingest has for free.
+    return lines.localCheckpoint()

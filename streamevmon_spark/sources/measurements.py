@@ -330,7 +330,10 @@ def synth_line_protocol(events: DataFrame) -> DataFrame:
             + extra_part + ", "
             "' ', CAST(event_id * 1000000000 + 123456789 AS STRING))"
         ).alias("value"),
-    )
+        # materialization barrier — see sources/amp2.synth_amp2_lines:
+        # downstream quote-parity splits reference `value` repeatedly
+        # and would inline this generator expression per reference
+    ).localCheckpoint()
 
 
 def parse_line_protocol(lines: DataFrame) -> DataFrame:

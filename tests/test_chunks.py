@@ -45,6 +45,61 @@ def test_chunk_table_counts(spark, sf_dir):
     assert bytes_per_pt < 4.0
 
 
+def _points(spark, sf_dir):
+    df = load_transcripts(spark, sf_dir)
+    return df.where(F.col("value").isNotNull()).select(
+        "conv_id", "tool", "role",
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("ts_us"),
+        "value",
+    )
+
+
+def _sorted_chunks_pdf(df):
+    pdf = df.toPandas().sort_values(
+        ["conv_id", "tool", "role", "chunk_us"], ignore_index=True
+    )
+    pdf["ts_dod"] = pdf["ts_dod"].map(bytes)
+    pdf["values_gorilla"] = pdf["values_gorilla"].map(bytes)
+    return pdf
+
+
+def test_compact_finer_chunks_byte_equals_direct_build(spark, sf_dir):
+    """Compacting 1h chunk blobs into 1d buckets must reproduce the
+    from-scratch 1d chunk build BYTE-identically (same canonical
+    sorted-points encoding), so compaction is invisible to readers."""
+    from streamevmon_spark.operators.chunks import compact_chunks
+
+    points = _points(spark, sf_dir)
+    fine = compress_chunks(points, "1h")
+    compacted = _sorted_chunks_pdf(compact_chunks(fine, "1d"))
+    direct = _sorted_chunks_pdf(compress_chunks(points, "1d"))
+    pd.testing.assert_frame_equal(compacted, direct)
+
+
+def test_compact_fragmented_appends_byte_equals_direct_build(spark, sf_dir):
+    """Two incremental runs each chunk part of a day; compacting the
+    union of their (same-bucket, fragmented) blobs equals one full
+    build — including the in-bucket point re-sort across fragments."""
+    from streamevmon_spark.operators.chunks import compact_chunks
+
+    points = _points(spark, sf_dir)
+    odd = points.where(F.col("ts_us") % 2 == 1)
+    even = points.where(F.col("ts_us") % 2 == 0)
+    frag = compress_chunks(odd, "1d").unionAll(compress_chunks(even, "1d"))
+    compacted = _sorted_chunks_pdf(compact_chunks(frag, "1d"))
+    direct = _sorted_chunks_pdf(compress_chunks(points, "1d"))
+    pd.testing.assert_frame_equal(compacted, direct)
+
+
+def test_compact_idempotent(spark, sf_dir):
+    from streamevmon_spark.operators.chunks import compact_chunks
+
+    fine = compress_chunks(_points(spark, sf_dir), "1h")
+    once = compact_chunks(fine, "1d")
+    twice = _sorted_chunks_pdf(compact_chunks(once, "1d"))
+    pd.testing.assert_frame_equal(twice, _sorted_chunks_pdf(once))
+
+
 def test_sketch_matches_exact_percentiles(spark, sf_dir):
     df = load_transcripts(spark, sf_dir)
     exact = rollup_tier(df, "1d").select(
