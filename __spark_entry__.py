@@ -1237,14 +1237,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "chunk_compact_roundtrip": _q_chunk_compact_roundtrip,
         "chunk_compact_stats": _q_chunk_compact_stats,
-        # --- last driver-checked in r01 (11) -------------------------
-        # training-data pipeline: deduplication over documents
-        "dedup_simhash": _q_docs("dedup", "simhash_fingerprints"),
-        # training-data pipeline: text analysis over documents
-        "doc_fingerprints": _q_docs("textstats", "fingerprints"),
-        # multimodal columns (binary payload + typed metadata; decode
-        # stubbed behind a deterministic fake — see operators/multimodal)
-        "media_metadata": _q_media_metadata,
+        # --- new r3: corpus-quality rule family (operators/quality) ---
+        # Gopher/MassiveText rule flags, n-gram repetition features,
+        # C4-style corpus-wide duplicate-block stats
+        "quality_gopher": _q_docs("quality", "gopher_flags"),
+        "gram_repetition": _q_docs("quality", "gram_repetition"),
+        "block_dedup": _q_docs("quality", "block_dedup_stats"),
+        # one r01-green sentinel holds the last window slot (its decode
+        # path changed most recently — Pillow feature detection)
         "media_decode_fake": _q_media_decode,
         # --- new this round: quote-aware line-protocol parse (1) ------
         # reference connectors/influx/LineProtocol.scala — the last
@@ -1271,6 +1271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced r01-green rows (untouched pure-builtin transforms;
         # media_frame_sample is rows-only by design — its hash-checked
         # twin media_frame_digests sits inside the window)
+        "dedup_simhash": _q_docs("dedup", "simhash_fingerprints"),
+        "doc_fingerprints": _q_docs("textstats", "fingerprints"),
+        "media_metadata": _q_media_metadata,
         "dedup_exact": _q_docs("dedup", "exact_dedup"),
         "dedup_ngram_jaccard": _q_docs(
             "dedup", "ngram_jaccard_pairs", threshold=0.2
@@ -1534,6 +1537,10 @@ def oracle_sql() -> dict[str, str]:
         # digest twin below is the hash-checked variant
         "media_decode_fake": docs_oracles.media_decode_oracle(),
         "media_frame_digests": docs_oracles.media_frame_digests_oracle(),
+        # corpus-quality rule family (operators/quality.py)
+        "quality_gopher": docs_oracles.gopher_flags_oracle(),
+        "gram_repetition": docs_oracles.gram_repetition_oracle(),
+        "block_dedup": docs_oracles.block_dedup_oracle(),
         "token_counts": docs_oracles.token_counts_oracle(),
         "quality_scores": docs_oracles.quality_scores_oracle(),
         "lang_id": docs_oracles.lang_id_oracle(),

@@ -718,3 +718,135 @@ walk(shard, rn, doc_id, n_tokens, pack_id, offset_tokens) AS (
 )
 SELECT doc_id, shard, pack_id, offset_tokens, n_tokens FROM walk
 """
+
+
+def gopher_flags_oracle(
+    min_words: int = 20,
+    max_words: int = 90,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> str:
+    """Expected ``quality.gopher_flags``: identical integer-derived
+    ratios and rule bounds (operators/quality.py)."""
+    stop = _sql_list(STOPWORDS)
+    return f"""
+WITH t AS (
+    SELECT doc_id, text,
+           CAST(len({_TOKS}) AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text)
+                - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+           CAST((length(text)
+                - length(replace(text, '...', ''))) / 3 AS BIGINT)
+               AS n_ellipsis,
+           CAST(len(list_filter({_TOKS},
+               t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT)
+               AS alpha_words,
+           CAST(len(list_intersect({_TOKS}, {stop})) AS BIGINT)
+               AS n_stop
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_words,
+           CAST(n_chars - (n_words - 1) AS DOUBLE)
+               / CAST(n_words AS DOUBLE) AS mean_word_len,
+           CAST(n_hash + n_ellipsis AS DOUBLE)
+               / CAST(n_words AS DOUBLE) AS symbol_ratio,
+           CAST(alpha_words AS DOUBLE)
+               / CAST(n_words AS DOUBLE) AS alpha_word_ratio,
+           n_stop AS distinct_stopwords
+    FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+       distinct_stopwords,
+       (n_words >= {min_words} AND n_words <= {max_words})
+           AS flag_word_count,
+       (mean_word_len >= {min_mean_word_len}
+        AND mean_word_len <= {max_mean_word_len}) AS flag_mean_word_len,
+       (symbol_ratio <= {max_symbol_ratio}) AS flag_symbol_ratio,
+       (alpha_word_ratio >= {min_alpha_word_ratio}) AS flag_alpha_words,
+       (distinct_stopwords >= {min_stopwords}) AS flag_stopwords,
+       ((n_words >= {min_words} AND n_words <= {max_words})
+        AND (mean_word_len >= {min_mean_word_len}
+             AND mean_word_len <= {max_mean_word_len})
+        AND (symbol_ratio <= {max_symbol_ratio})
+        AND (alpha_word_ratio >= {min_alpha_word_ratio})
+        AND (distinct_stopwords >= {min_stopwords})) AS keep
+FROM m
+"""
+
+
+def _grams_list_sql(n: int) -> str:
+    """Non-distinct word n-gram list (truncated-gram convention for
+    docs shorter than n words) — mirrors quality._grams_sql."""
+    return (
+        f"[array_to_string(list_slice({_TOKS}, j + 1, j + {n}), ' ') "
+        f"FOR j IN range(0, greatest(len({_TOKS}) - {n - 1}, 1))]"
+    )
+
+
+def gram_repetition_oracle() -> str:
+    """Expected ``quality.gram_repetition``: per-(doc, gram) counts then
+    per-doc totals, for n = 2 and 3."""
+    return f"""
+WITH g2 AS (
+    SELECT doc_id, unnest({_grams_list_sql(2)}) AS gram FROM documents
+),
+c2 AS (
+    SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2
+),
+s2 AS (
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_2gram,
+           CAST(count(*) AS BIGINT) AS distinct_2gram,
+           CAST(max(cnt) AS BIGINT) AS top_2gram_count
+    FROM c2 GROUP BY doc_id
+),
+g3 AS (
+    SELECT doc_id, unnest({_grams_list_sql(3)}) AS gram FROM documents
+),
+c3 AS (
+    SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2
+),
+s3 AS (
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_3gram,
+           CAST(count(*) AS BIGINT) AS distinct_3gram,
+           CAST(max(cnt) AS BIGINT) AS top_3gram_count
+    FROM c3 GROUP BY doc_id
+)
+SELECT s2.doc_id, total_2gram, top_2gram_count, total_3gram,
+       distinct_3gram,
+       CAST(top_2gram_count AS DOUBLE) / CAST(total_2gram AS DOUBLE)
+           AS top_2gram_share,
+       CAST(total_3gram - distinct_3gram AS DOUBLE)
+           / CAST(total_3gram AS DOUBLE) AS dup_3gram_frac
+FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+"""
+
+
+def block_dedup_oracle(block_tokens: int = 16) -> str:
+    """Expected ``quality.block_dedup_stats``: md5 per consecutive
+    block, corpus-wide occurrence counts, per-doc duplicate fraction."""
+    blocks = (
+        f"[array_to_string(list_slice({_TOKS}, b * {block_tokens} + 1, "
+        f"(b + 1) * {block_tokens}), ' ') "
+        f"FOR b IN range(0, ((len({_TOKS}) - 1) // {block_tokens}) + 1)]"
+    )
+    return f"""
+WITH b AS (
+    SELECT doc_id, md5(unnest({blocks})) AS block_md5 FROM documents
+),
+corpus AS (
+    SELECT block_md5, count(*) AS corpus_count FROM b GROUP BY block_md5
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN corpus_count > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_blocks,
+       CAST(sum(CASE WHEN corpus_count > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_block_frac
+FROM b JOIN corpus USING (block_md5)
+GROUP BY doc_id
+"""
