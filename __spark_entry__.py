@@ -107,6 +107,29 @@ def _q_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FINE_CHUNKS_CACHE: dict = {}
+
+
+def _fine_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1h chunk blobs consumed by BOTH compaction gate queries,
+    built once per session (localCheckpoint): the queries verify the
+    COMPACTION arithmetic; the chunk build itself is already covered by
+    chunk_table/chunk_roundtrip, so rebuilding it per query would just
+    double-bill the codec."""
+    from streamevmon_spark.operators.chunks import chunk_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, "fine_chunks")
+    if key not in _FINE_CHUNKS_CACHE:
+        _FINE_CHUNKS_CACHE[key] = chunk_table(
+            load_transcripts(spark, sf_dir), grid_tier="1h",
+            chunk_tier="1h", method="interp", purge_gap_s=7200,
+        ).select(
+            "conv_id", "tool", "role", "chunk_us", "n_points",
+            "ts_dod", "values_gorilla",
+        ).localCheckpoint()
+    return _FINE_CHUNKS_CACHE[key]
+
+
 def _q_chunk_compact_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -118,22 +141,11 @@ def _q_chunk_compact_roundtrip(
     from pyspark.sql import functions as F
 
     from streamevmon_spark.operators.chunks import (
-        chunk_table,
         compact_chunks,
         decompress_chunks,
     )
 
-    chunks = chunk_table(
-        load_transcripts(spark, sf_dir), grid_tier="1h", chunk_tier="1h",
-        method="interp", purge_gap_s=7200,
-    )
-    compacted = compact_chunks(
-        chunks.select(
-            "conv_id", "tool", "role", "chunk_us", "n_points",
-            "ts_dod", "values_gorilla",
-        ),
-        "1d",
-    )
+    compacted = compact_chunks(_fine_chunks(spark, sf_dir), "1d")
     pts = decompress_chunks(
         compacted.select(
             "conv_id", "tool", "role", "ts_dod", "values_gorilla"
@@ -157,22 +169,19 @@ def _q_chunk_compact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     point count) — hash-checked against the gap-fill oracle re-bucketed
     in SQL, so the merge arithmetic itself is driver-verified without
     decoding blobs."""
-    from streamevmon_spark.operators.chunks import (
-        chunk_table,
-        compact_chunks,
+    from streamevmon_spark.operators.chunks import compact_chunks
+
+    return compact_chunks(_fine_chunks(spark, sf_dir), "1d").select(
+        "conv_id", "tool", "role", "chunk_us", "n_points"
     )
 
-    chunks = chunk_table(
-        load_transcripts(spark, sf_dir), grid_tier="1h", chunk_tier="1h",
-        method="interp", purge_gap_s=7200,
-    )
-    return compact_chunks(
-        chunks.select(
-            "conv_id", "tool", "role", "chunk_us", "n_points",
-            "ts_dod", "values_gorilla",
-        ),
-        "1d",
-    ).select("conv_id", "tool", "role", "chunk_us", "n_points")
+
+def _q_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsample to 64 points per series (operators/downsample) —
+    the read-side shape-preserving selection for dashboard rendering."""
+    from streamevmon_spark.operators.downsample import downsample_lttb
+
+    return downsample_lttb(load_transcripts(spark, sf_dir), 64)
 
 
 def _q_sketch_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1365,6 +1374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detector and its window-SQL oracle
         "stream_detect_loss": _q_stream_detect_loss,
         "stream_detect_spike": _q_stream_detect_spike,
+        # new r3 (post-window; r04 window candidate): LTTB visual
+        # downsampling — shape-preserving raw-point selection per
+        # series, recursive-CTE greedy-walk oracle
+        "downsample_lttb": _q_downsample_lttb,
     }
 
 
@@ -1507,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
                 z_threshold=0.5, minimum_change=1.02,
             )
         ),
+        "downsample_lttb": oracles.lttb_oracle(64),
         "flows_dag": (
             "SELECT * FROM ("
             + oracles.loss_events_oracle(

@@ -1,0 +1,138 @@
+"""Visual downsampling of per-series points: LTTB
+(Largest-Triangle-Three-Buckets, Steinarsson 2013 — the downsampler
+Grafana/time-series UIs use). Complements the tier rollups: rollups
+aggregate values per window; LTTB selects the n_out RAW points that
+best preserve the visual shape of each series.
+
+Spark-first shape: one exchange into (series)-partitioned layout +
+partition-local sort, then a single vectorized Arrow pass per group
+(operators/_partitionwise.py — the same kernel harness as the
+chunk codec and detector folds). No driver collect; memory per task is
+bounded by one series' points, same bound as the percentile rollup.
+
+Cross-engine determinism (oracles.lttb_oracle replays the greedy walk
+as a recursive CTE with a NOT-EXISTS argmax):
+- x is integer µs (exact in double below 2^53);
+- y is floor(value * 1e6) integer quantization (floor of a double is
+  exact, sums stay in int64), so bucket-average anchors are a single
+  CAST(exact-int AS DOUBLE)/count division in both engines;
+- the triangle-area formula is written with the identical operand
+  order, so IEEE doubles agree bit-for-bit and both engines pick the
+  same argmax (ties -> first point in (ts, turn_idx) order).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streamevmon_spark.operators._partitionwise import partitionwise_apply
+from streamevmon_spark.operators.rollup import EPOCH_NTZ, SERIES_KEY
+
+_OUT_SCHEMA = (
+    "conv_id string, tool string, role string, ts timestamp_ntz, "
+    "value double"
+)
+
+
+def _bucket_bounds(m: int, B: int) -> np.ndarray:
+    """Interior-offset boundaries: bucket k covers offsets
+    [floor(k*m/B), floor((k+1)*m/B)); non-empty for m >= B."""
+    k = np.arange(B + 1, dtype=np.int64)
+    return (k * m) // B
+
+
+def lttb_select(
+    x: np.ndarray, y: np.ndarray, n_out: int
+) -> np.ndarray:
+    """Indices of the LTTB-selected points of one series (x int64 µs,
+    y int64 quantized values, both sorted by x then tie order).
+    Always includes the first and last point."""
+    n = x.size
+    if n <= n_out:
+        return np.arange(n, dtype=np.int64)
+    m, B = n - 2, n_out - 2
+    bounds = _bucket_bounds(m, B) + 1  # absolute indices into x/y
+    xd = x.astype(np.float64)
+    yd = y.astype(np.float64)
+    # per-bucket anchors: average of the NEXT bucket (exact-int sums,
+    # one double division), last bucket anchored on the final point
+    # reduceat over all B+1 boundaries, keep the first B segments (the
+    # trailing [bounds[B], n) segment is the final point, not a bucket)
+    sum_x = np.add.reduceat(x, bounds)[:B]
+    sum_y = np.add.reduceat(y, bounds)[:B]
+    cnt = np.diff(bounds)
+    ax = np.empty(B, dtype=np.float64)
+    ay = np.empty(B, dtype=np.float64)
+    ax[: B - 1] = sum_x[1:].astype(np.float64) / cnt[1:].astype(
+        np.float64
+    )
+    ay[: B - 1] = sum_y[1:].astype(np.float64) / cnt[1:].astype(
+        np.float64
+    )
+    ax[B - 1], ay[B - 1] = xd[n - 1], yd[n - 1]
+
+    sel = np.empty(n_out, dtype=np.int64)
+    sel[0] = 0
+    sel[n_out - 1] = n - 1
+    px, py = xd[0], yd[0]
+    for k in range(B):
+        lo, hi = bounds[k], bounds[k + 1]
+        cx, cy = xd[lo:hi], yd[lo:hi]
+        # abs((px-ax)*(cy-py) - (px-cx)*(ay-py)); /2 dropped (argmax)
+        area = np.abs(
+            (px - ax[k]) * (cy - py) - (px - cx) * (ay[k] - py)
+        )
+        j = lo + int(np.argmax(area))  # first max = tie-break
+        sel[k + 1] = j
+        px, py = xd[j], yd[j]
+    return sel
+
+
+def downsample_lttb(df: DataFrame, n_out: int = 64) -> DataFrame:
+    """LTTB-downsample each (conv_id, tool, role) series of the
+    transcripts table to at most ``n_out`` raw points (lossy NULL-value
+    turns are dropped first, as in every rollup path). ``n_out >= 3``.
+
+    reference intent: the reference exposes its stored series to
+    Grafana dashboards (docs/grafana; InfluxDB retention tiers); LTTB
+    is the industry-standard shape-preserving read-side downsample for
+    exactly that surface, here as a first-class distributed operator.
+    """
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3")
+    pts = df.where(F.col("value").isNotNull()).select(
+        *SERIES_KEY,
+        "turn_idx",
+        "ts",
+        "value",
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("x"),
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("y"),
+    )
+
+    def batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        from streamevmon_spark.operators._partitionwise import (
+            group_starts,
+        )
+
+        outs = []
+        starts = group_starts(pdf, SERIES_KEY)
+        ends = np.append(starts[1:], len(pdf))
+        x = pdf["x"].to_numpy(np.int64)
+        y = pdf["y"].to_numpy(np.int64)
+        for s, e in zip(starts, ends):
+            sel = s + lttb_select(x[s:e], y[s:e], n_out)
+            outs.append(
+                pdf.iloc[sel][
+                    ["conv_id", "tool", "role", "ts", "value"]
+                ]
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return partitionwise_apply(
+        pts, SERIES_KEY, ["x", "turn_idx"], batch, _OUT_SCHEMA
+    )

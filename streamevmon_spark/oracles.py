@@ -2064,3 +2064,91 @@ SELECT line_id, concat('m', line_id % 3) AS measurement, kind,
        make_timestamp((line_id * 1000 + 123) * 1000) AS time
 FROM rows_
 """
+
+
+def lttb_oracle(n_out: int = 64) -> str:
+    """Recursive-CTE replay of the LTTB greedy walk
+    (operators/downsample.lttb_select): per big series, bucket the
+    interior points with the closed-form bucket id, precompute next-
+    bucket average anchors from exact integer sums, then walk buckets
+    left-to-right picking the max-triangle-area point via a NOT-EXISTS
+    argmax (ties -> smaller (ts, turn_idx)). The area expression is the
+    byte-identical operand order of the numpy kernel."""
+    B = n_out - 2
+
+    def area(cx: str, cy: str) -> str:
+        # abs((px-ax)*(cy-py) - (px-cx)*(ay-py)); px/py from the walk,
+        # ax/ay from the anchor relation
+        return (
+            f"abs((w.sx - a.bx) * (CAST({cy} AS DOUBLE) - w.sy)"
+            f" - (w.sx - CAST({cx} AS DOUBLE)) * (a.by_ - w.sy))"
+        )
+
+    a_c = area("c.x", "c.y")
+    a_c2 = area("c2.x", "c2.y")
+    body = f"""
+, pts AS (
+    SELECT conv_id, tool, role, turn_idx, ts, value,
+           epoch_us(ts) AS x,
+           CAST(floor(value * 1000000) AS BIGINT) AS y,
+           row_number() OVER (
+               PARTITION BY conv_id, tool, role ORDER BY ts, turn_idx
+           ) - 1 AS i,
+           count(*) OVER (PARTITION BY conv_id, tool, role) AS n
+    FROM transcripts WHERE value IS NOT NULL
+),
+small AS (
+    SELECT conv_id, tool, role, ts, value FROM pts WHERE n <= {n_out}
+),
+big AS (SELECT * FROM pts WHERE n > {n_out}),
+interior AS (
+    SELECT *, (i * {B} + n - 3) // (n - 2) - 1 AS k
+    FROM big WHERE i >= 1 AND i <= n - 2
+),
+buckets AS (
+    SELECT conv_id, tool, role, k,
+           CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bx,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS by_
+    FROM interior GROUP BY conv_id, tool, role, k
+),
+anchors AS (
+    SELECT conv_id, tool, role, k - 1 AS k, bx, by_
+    FROM buckets WHERE k >= 1
+    UNION ALL
+    SELECT conv_id, tool, role, {B} - 1 AS k,
+           CAST(x AS DOUBLE) AS bx, CAST(y AS DOUBLE) AS by_
+    FROM big WHERE i = n - 1
+),
+walk AS (
+    WITH RECURSIVE w0(conv_id, tool, role, k, ts, value, sx, sy) AS (
+        SELECT conv_id, tool, role, -1, ts, value,
+               CAST(x AS DOUBLE), CAST(y AS DOUBLE)
+        FROM big WHERE i = 0
+        UNION ALL
+        SELECT c.conv_id, c.tool, c.role, c.k, c.ts, c.value,
+               CAST(c.x AS DOUBLE), CAST(c.y AS DOUBLE)
+        FROM w0 w
+        JOIN interior c ON c.conv_id = w.conv_id AND c.tool = w.tool
+             AND c.role = w.role AND c.k = w.k + 1
+        JOIN anchors a ON a.conv_id = c.conv_id AND a.tool = c.tool
+             AND a.role = c.role AND a.k = c.k
+        WHERE NOT EXISTS (
+            SELECT 1 FROM interior c2
+            WHERE c2.conv_id = c.conv_id AND c2.tool = c.tool
+              AND c2.role = c.role AND c2.k = c.k
+              AND ({a_c2} > {a_c}
+                   OR ({a_c2} = {a_c}
+                       AND (c2.ts < c.ts
+                            OR (c2.ts = c.ts
+                                AND c2.turn_idx < c.turn_idx))))
+        )
+    )
+    SELECT * FROM w0
+)
+SELECT conv_id, tool, role, ts, value FROM walk
+UNION ALL
+SELECT conv_id, tool, role, ts, value FROM big WHERE i = n - 1
+UNION ALL
+SELECT conv_id, tool, role, ts, value FROM small
+"""
+    return with_transcripts(body)

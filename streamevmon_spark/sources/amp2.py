@@ -275,7 +275,11 @@ def amp2_table(parsed: DataFrame, type_key: str) -> DataFrame:
     -> None / throw analogue)."""
     spec = AMP2_TYPES[type_key]
     mname = spec.get("measurement", type_key)
+    # barrier before the many per-column tag/field references (see
+    # _no_collapse); keep it above the measurement filter so the
+    # filter still prunes rows below the barrier
     sel = parsed.where(F.col("measurement") == mname)
+    sel = _no_collapse(sel, "tags", "fields")
     if "test" in spec:
         sel = sel.where(
             F.element_at(F.col("tags"), F.lit("test")) == spec["test"]
@@ -353,6 +357,27 @@ def _type_exprs(spec: dict, mname: str) -> tuple[Column, Column, Column]:
     return valid, stream, default_value
 
 
+def _no_collapse(df: DataFrame, *cols: str) -> DataFrame:
+    """Plan barrier: stop CollapseProject from inlining the (expensive)
+    construction of ``cols`` into every downstream reference.
+
+    The 13-type dispatch references the tags/fields maps hundreds of
+    times; with projection collapse each reference re-evaluates the
+    whole map_from_entries(transform(split(...))) tree (higher-order
+    functions run interpreted, so codegen subexpression elimination
+    never sees them — measured 140 µs/row, ~9x the parse itself).
+    Wrapping the column in a nondeterministic-but-constant-true guard
+    keeps the projections separate, so each map is built once per row
+    and streamed to the consumer — no materialization, unchanged
+    values."""
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.when(F.rand(7) > -1.0, F.col(c)).otherwise(F.col(c))
+        )
+    return out
+
+
 def amp2_typed(lines: DataFrame) -> DataFrame:
     """The createFromLineProtocol summary over every family: one row per
     accepted line with (line_id, measurement, subtype, stream, time,
@@ -365,8 +390,10 @@ def amp2_typed(lines: DataFrame) -> DataFrame:
     dispatch is a chained CASE on (measurement, test) inside a single
     projection (the Catalyst analogue of the reference's match
     statement, Amp2Measurement.scala:96-113), not a 13-branch
-    filter+union that would rescan the parse per family."""
-    parsed = line_protocol_maps(lines)
+    filter+union that would rescan the parse per family. The parsed
+    maps sit behind a no-collapse barrier so they are built once per
+    row, not once per tag reference."""
+    parsed = _no_collapse(line_protocol_maps(lines), "tags", "fields")
     subtype = stream = dval = valid = None
     for type_key, spec in AMP2_TYPES.items():
         mname = spec.get("measurement", type_key)
@@ -407,7 +434,7 @@ def amp2_latency_union(lines: DataFrame) -> DataFrame:
     # the test tag; subtype-specific tag columns are NULL where the
     # subtype doesn't declare them (the union column set of
     # Amp2Measurement.getColumnNamesLatency)
-    parsed = line_protocol_maps(lines)
+    parsed = _no_collapse(line_protocol_maps(lines), "tags", "fields")
     keys = ("latency-dns", "latency-icmp", "latency-tcpping")
     specs = {k: AMP2_TYPES[k] for k in keys}
     conds = {k: _type_cond(specs[k], "latency") for k in keys}
@@ -589,5 +616,9 @@ def synth_amp2_lines(events: DataFrame) -> DataFrame:
     # it per reference — projection collapse multiplies the expression
     # tree combinatorially through the 3-level parse + 13-type dispatch
     # and can OOM the codegen layer. This is the "read lines from
-    # storage" boundary a real ingest has for free.
-    return lines.localCheckpoint()
+    # storage" boundary a real ingest has for free. The repartition
+    # spreads the (often single-file) events scan across the cluster so
+    # the checkpointed lines — and every parse over them — run at full
+    # parallelism, as a many-file ingest would.
+    n = events.sparkSession.sparkContext.defaultParallelism
+    return lines.repartition(n).localCheckpoint()

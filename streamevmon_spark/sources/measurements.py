@@ -332,7 +332,10 @@ def synth_line_protocol(events: DataFrame) -> DataFrame:
         ).alias("value"),
         # materialization barrier — see sources/amp2.synth_amp2_lines:
         # downstream quote-parity splits reference `value` repeatedly
-        # and would inline this generator expression per reference
+        # and would inline this generator expression per reference; the
+        # repartition restores full parallelism over single-file scans
+    ).repartition(
+        events.sparkSession.sparkContext.defaultParallelism
     ).localCheckpoint()
 
 

@@ -1,0 +1,115 @@
+"""LTTB downsampling (operators/downsample.py): hand-computed worked
+examples for the kernel, distributed invariants, and the bucket-id
+closed form used by both the kernel and the recursive-CTE oracle.
+Cross-engine bit-exactness is covered by the driver gate
+(downsample_lttb vs oracles.lttb_oracle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from streamevmon_spark.data.transcripts import load_transcripts
+from streamevmon_spark.operators.downsample import (
+    _bucket_bounds,
+    downsample_lttb,
+    lttb_select,
+)
+
+
+def test_lttb_keeps_all_when_small():
+    x = np.arange(5, dtype=np.int64)
+    y = np.arange(5, dtype=np.int64)
+    assert lttb_select(x, y, 5).tolist() == [0, 1, 2, 3, 4]
+    assert lttb_select(x, y, 10).tolist() == [0, 1, 2, 3, 4]
+
+
+def test_lttb_single_bucket_picks_peak():
+    # n_out=3 -> one interior bucket anchored on the last point: the
+    # spike at index 2 maximizes the triangle area
+    x = np.arange(5, dtype=np.int64)
+    y = np.array([0, 0, 10, 0, 0], dtype=np.int64)
+    assert lttb_select(x, y, 3).tolist() == [0, 2, 4]
+
+
+def test_lttb_tie_breaks_to_first():
+    x = np.arange(5, dtype=np.int64)
+    y = np.array([0, 5, 5, 5, 0], dtype=np.int64)  # symmetric plateau
+    sel = lttb_select(x, y, 3)
+    assert sel.tolist() == [0, 1, 4]  # first max area wins
+
+
+def test_lttb_two_buckets_worked_example():
+    # n=8, n_out=4 -> m=6 interior pts (idx 1..6), B=2 buckets of 3:
+    # bucket0 = idx 1-3 (anchor = avg of bucket1 = (5,3)), bucket1 =
+    # idx 4-6 (anchor = last point). Bucket0 picks the spike at idx 3
+    # (area 36 vs 2/1). Bucket1 areas vs prev=(3,9), anchor=(7,0):
+    # |-4(cy-9)+9(3-cx)| -> idx4: 23, idx5: 10, idx6: 5 — the LTTB
+    # triangle picks idx 4 (large drop from the spike), not the
+    # second bump.
+    x = np.arange(8, dtype=np.int64)
+    y = np.array([0, 1, 1, 9, 1, 7, 1, 0], dtype=np.int64)
+    assert lttb_select(x, y, 4).tolist() == [0, 3, 4, 7]
+
+
+def test_bucket_bounds_cover_interior_exactly():
+    for m, B in [(6, 2), (7, 3), (100, 9), (5, 5)]:
+        b = _bucket_bounds(m, B)
+        assert b[0] == 0 and b[-1] == m
+        assert (np.diff(b) >= 1).all()  # non-empty buckets for m >= B
+        # closed-form bucket id (the oracle's formula) agrees with the
+        # boundary table for every interior offset
+        for o in range(m):
+            k_closed = ((o + 1) * B + m - 1) // m - 1
+            k_table = int(np.searchsorted(b, o, side="right") - 1)
+            assert k_closed == k_table, (m, B, o)
+
+
+def test_downsample_lttb_invariants(spark, sf_dir):
+    df = load_transcripts(spark, sf_dir)
+    out = downsample_lttb(df, 16).persist()
+    try:
+        sizes = out.groupBy("conv_id", "tool", "role").count()
+        assert sizes.where("count > 16").count() == 0
+        # first and last non-lossy point of every series are kept
+        pts = df.where(F.col("value").isNotNull())
+        ends = pts.groupBy("conv_id", "tool", "role").agg(
+            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+        )
+        joined = ends.join(out, ["conv_id", "tool", "role"])
+        n_series = ends.count()
+        assert (
+            joined.where(F.col("ts") == F.col("first_ts"))
+            .select("conv_id", "tool", "role").distinct().count()
+            == n_series
+        )
+        assert (
+            joined.where(F.col("ts") == F.col("last_ts"))
+            .select("conv_id", "tool", "role").distinct().count()
+            == n_series
+        )
+        # selected rows are a subset of the input rows
+        assert out.join(
+            pts.select("conv_id", "tool", "role", "ts", "value"),
+            ["conv_id", "tool", "role", "ts", "value"],
+            "left_anti",
+        ).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_downsample_plan_single_exchange(spark, sf_dir):
+    df = load_transcripts(spark, sf_dir)
+    plan = (
+        downsample_lttb(df, 16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one series exchange for the kernel; the transcripts derivation's
+    # own conv_id window exchange is upstream of it
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_n_out_validation(spark, sf_dir):
+    with pytest.raises(ValueError):
+        downsample_lttb(load_transcripts(spark, sf_dir), 2)
