@@ -66,10 +66,37 @@ def main() -> None:
                     help="informational: resume is automatic — an existing "
                          "manifest at --output skips its done buckets")
     ap.add_argument("--make-zip", action="store_true")
+    ap.add_argument("--maintain", action="store_true",
+                    help="run retention expiry + small-file compaction "
+                         "over --output instead of processing buckets")
+    ap.add_argument("--retention", default="1m=2592000,1h=15552000",
+                    help="tier=seconds[,tier=seconds...]; omitted tiers "
+                         "are kept forever")
+    ap.add_argument("--compact-files", type=int, default=1,
+                    help="target parquet files per partition dir")
     args = ap.parse_args()
 
     if args.make_zip:
         print(make_zip())
+        return
+
+    if args.maintain:
+        import time as _time
+
+        from streamevmon_spark.plans.maintenance import run_maintenance
+        from streamevmon_spark.session import build_spark as _build
+
+        spark = _build(app_name="transcript-rollup-maintenance")
+        ret = {
+            kv.split("=")[0]: int(kv.split("=")[1])
+            for kv in args.retention.split(",") if kv
+        }
+        res = run_maintenance(
+            spark, args.output, now_us=int(_time.time() * 1_000_000),
+            retention_s=ret, compact_target_files=args.compact_files,
+        )
+        print(json.dumps(res))
+        spark.stop()
         return
 
     from streamevmon_spark.plans.pipeline import run_pipeline

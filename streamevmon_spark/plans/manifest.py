@@ -60,6 +60,10 @@ class PartitionRecord:
     # assigned in completion order when the bucket is marked done, so
     # "the table as of snapshot k" = partitions with 1 <= seq <= k.
     seq: int = 0
+    # tiers whose physical partition dir was removed by retention
+    # maintenance (the Iceberg expire-snapshots analogue): the lineage
+    # row survives as a tombstone, reads skip the tier/partition pair.
+    expired_tiers: list = field(default_factory=list)
 
 
 @dataclass
@@ -68,6 +72,10 @@ class Manifest:
     input_fingerprint: str
     tiers: list
     partitions: list  # list[PartitionRecord]
+    # maintenance log: one entry per run_maintenance invocation that
+    # changed anything ({"now_us", "expired": {tier: [part_id, ...]},
+    # "compacted": {tier: [part_id, ...]}})
+    maintenance: list = field(default_factory=list)
 
     def to_json(self) -> str:
         d = asdict(self)

@@ -165,7 +165,24 @@ ROLLUP_SCHEMA = (
 
 
 def read_rollup(spark: SparkSession, out_dir: str, tier: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, f"rollup_{tier}", "*"))
+    """Current live rollup for ``tier``: manifest-selected partition
+    paths (done, not expired by retention maintenance) — never a bare
+    glob, so tombstoned partitions and any crash-left temp dirs from a
+    compaction rewrite are invisible to readers."""
+    manifest = load_manifest(out_dir)
+    if manifest is None:
+        # pre-manifest layout (or direct dirs): fall back to the glob
+        return spark.read.parquet(
+            os.path.join(out_dir, f"rollup_{tier}", "*")
+        )
+    paths = [
+        os.path.join(out_dir, f"rollup_{tier}", part.part_id)
+        for part in manifest.partitions
+        if part.status == "done" and tier not in part.expired_tiers
+    ]
+    if not paths:
+        return spark.createDataFrame([], ROLLUP_SCHEMA)
+    return spark.read.parquet(*paths)
 
 
 def read_rollup_as_of(
@@ -176,7 +193,13 @@ def read_rollup_as_of(
     completion order, the Iceberg snapshot-id analogue) is <= snapshot.
     Because buckets are written idempotently to per-partition subdirs,
     an as-of read is a pure path selection — no data is rewritten or
-    copied to keep history."""
+    copied to keep history.
+
+    Partitions expired by retention maintenance (plans/maintenance.py)
+    are excluded even when their seq qualifies — the Iceberg
+    expire-snapshots contract: history older than the expiry is no
+    longer reproducible, and the read degrades to the surviving set
+    instead of raising on the deleted path."""
     manifest = load_manifest(out_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
@@ -184,6 +207,7 @@ def read_rollup_as_of(
         os.path.join(out_dir, f"rollup_{tier}", part.part_id)
         for part in manifest.partitions
         if part.status == "done" and 0 < part.seq <= snapshot
+        and tier not in part.expired_tiers
     ]
     if not paths:
         return spark.createDataFrame([], ROLLUP_SCHEMA)
