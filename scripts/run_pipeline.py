@@ -65,6 +65,10 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true",
                     help="informational: resume is automatic — an existing "
                          "manifest at --output skips its done buckets")
+    ap.add_argument("--cascade", action="store_true",
+                    help="derive 1h/1d from the 1m mergeable state per "
+                         "bucket (one raw scan per bucket) instead of "
+                         "one raw scan per tier; identical output")
     ap.add_argument("--make-zip", action="store_true")
     ap.add_argument("--maintain", action="store_true",
                     help="run retention expiry + small-file compaction "
@@ -117,6 +121,7 @@ def main() -> None:
         df,
         args.output,
         tiers=tuple(args.tiers.split(",")),
+        cascade=args.cascade,
     )
     done = [p for p in manifest.partitions if p.status == "done"]
     print(json.dumps({

@@ -38,15 +38,14 @@ from streamevmon_spark.plans.manifest import (
 )
 
 
-def _bucket_rollup(
-    spark: SparkSession,
+def _bucket_input(
     df: DataFrame,
     boundaries: DataFrame,
     start_us: int,
     end_us: int,
-    tier: str,
 ) -> DataFrame:
-    """Rollup restricted to one bucket, with exact cross-bucket lag."""
+    """One bucket's rows plus each series' latest pre-bucket boundary
+    row (injected so the first in-bucket turn gets its exact lag)."""
     ts_us = F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)")
     in_bucket = df.where((ts_us >= start_us) & (ts_us < end_us))
     # latest boundary row strictly before this bucket, per series (tiny)
@@ -61,23 +60,36 @@ def _bucket_rollup(
             F.col("b.last_turn_idx").alias("turn_idx"),
             F.lit(None).cast("string").alias("text"),
             F.lit(None).cast("double").alias("value"),
-            F.lit(True).alias("__boundary"),
         )
     )
-    unioned = in_bucket.withColumn("__boundary", F.lit(False)).unionByName(
+    return in_bucket.unionByName(
         prev.select(
-            "conv_id", "turn_idx", "role", "text", "tool", "ts", "value",
-            "__boundary",
+            "conv_id", "turn_idx", "role", "text", "tool", "ts", "value"
         ),
         allowMissingColumns=False,
     )
-    rolled = rollup_tier(unioned.drop("__boundary"), tier)
-    # boundary rows sit in earlier windows; keep only this bucket's windows.
-    # Their own (boundary) row adds a spurious window outside the bucket and
-    # contributes nothing inside it except the exact lag for the first real
-    # turn of each series.
+
+
+def _in_bucket_windows(rolled: DataFrame, start_us: int, end_us: int):
+    # boundary rows sit in earlier windows; keep only this bucket's
+    # windows. Their own (boundary) row adds a spurious window outside
+    # the bucket and contributes nothing inside it except the exact lag
+    # for the first real turn of each series.
     ws_us = F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, window_start)")
     return rolled.where((ws_us >= start_us) & (ws_us < end_us))
+
+
+def _bucket_rollup(
+    spark: SparkSession,
+    df: DataFrame,
+    boundaries: DataFrame,
+    start_us: int,
+    end_us: int,
+    tier: str,
+) -> DataFrame:
+    """Rollup restricted to one bucket, with exact cross-bucket lag."""
+    unioned = _bucket_input(df, boundaries, start_us, end_us)
+    return _in_bucket_windows(rollup_tier(unioned, tier), start_us, end_us)
 
 
 def run_pipeline(
@@ -89,11 +101,22 @@ def run_pipeline(
     bucket_s: int = 86400,
     stop_after: int | None = None,
     run_id: str | None = None,
+    cascade: bool = False,
 ) -> Manifest:
     """Process all pending buckets; return the final manifest.
 
     ``stop_after=k`` halts after k buckets (simulates a killed run; the
     next call resumes). Outputs land at out_dir/rollup_{tier}/{part_id}/.
+
+    ``cascade=True`` is the continuous-aggregate maintenance topology
+    per bucket: the raw rows are aggregated ONCE into 1m mergeable
+    state and the 1h/1d tiers derive from that state
+    (operators/rollup.rollup_tiers_cascade_exact — bit-exact vs the
+    per-tier rollups incl. percentiles), instead of one raw scan per
+    tier. This is the 10^12-turn shape: coarser tiers never rescan raw.
+    Output files are identical either way; the default stays the
+    per-tier path because it supports arbitrary tier subsets without
+    computing the 1m state.
     """
     manifest = load_manifest(out_dir)
     fp = _fingerprint(input_path) if input_path else "inline"
@@ -131,13 +154,46 @@ def run_pipeline(
             .collect()
         )
         rows_out: dict[str, int] = {}
-        for tier in tiers:
-            out = _bucket_rollup(
-                spark, df, boundaries, part.start_us, part.end_us, tier
+        if cascade:
+            from streamevmon_spark.operators.rollup import (
+                rollup_tiers_cascade_exact,
             )
-            dest = os.path.join(out_dir, f"rollup_{tier}", part.part_id)
-            out.write.mode("overwrite").parquet(dest)
-            rows_out[tier] = spark.read.parquet(dest).count()
+
+            unknown = set(tiers) - {"1m", "1h", "1d"}
+            if unknown:
+                raise ValueError(
+                    f"cascade mode supports tiers 1m/1h/1d, got {unknown}"
+                )
+            unioned = _bucket_input(
+                df, boundaries, part.start_us, part.end_us
+            )
+            res = rollup_tiers_cascade_exact(
+                unioned, persist_intermediate=True
+            )
+            try:
+                for tier in tiers:
+                    out = _in_bucket_windows(
+                        res[tier], part.start_us, part.end_us
+                    )
+                    dest = os.path.join(
+                        out_dir, f"rollup_{tier}", part.part_id
+                    )
+                    out.write.mode("overwrite").parquet(dest)
+                    rows_out[tier] = spark.read.parquet(dest).count()
+            finally:
+                for state in res["_state"]:
+                    state.unpersist()
+        else:
+            for tier in tiers:
+                out = _bucket_rollup(
+                    spark, df, boundaries, part.start_us, part.end_us,
+                    tier,
+                )
+                dest = os.path.join(
+                    out_dir, f"rollup_{tier}", part.part_id
+                )
+                out.write.mode("overwrite").parquet(dest)
+                rows_out[tier] = spark.read.parquet(dest).count()
         wall = time.monotonic() - t0
         part.status = "done"
         part.seq = max((q.seq for q in manifest.partitions), default=0) + 1

@@ -178,3 +178,42 @@ def test_as_of_empty_and_preseq_manifests(spark, sf_dir, tmp_path):
         read_rollup_as_of(spark, out, "1h", n).count()
         == read_rollup(spark, out, "1h").count()
     )
+
+
+def test_cascade_pipeline_equals_per_tier(spark, sf_dir, tmp_path):
+    """cascade=True (one raw scan per bucket, 1h/1d derived from the 1m
+    mergeable state) writes byte-identical rollups to the per-tier path,
+    including the exact percentile columns, and resumes the same way."""
+    df = load_transcripts(spark, sf_dir)
+    a_dir, b_dir = str(tmp_path / "per_tier"), str(tmp_path / "cascade")
+    run_pipeline(
+        spark, df, a_dir, input_path=sf_dir, tiers=("1m", "1h", "1d"),
+        bucket_s=BUCKET,
+    )
+    # cascade run halted after 1 bucket, then resumed — resume must
+    # compose with the cascade topology
+    m1 = run_pipeline(
+        spark, df, b_dir, input_path=sf_dir, tiers=("1m", "1h", "1d"),
+        bucket_s=BUCKET, stop_after=1, cascade=True,
+    )
+    assert sum(p.status == "done" for p in m1.partitions) == 1
+    run_pipeline(
+        spark, df, b_dir, input_path=sf_dir, tiers=("1m", "1h", "1d"),
+        bucket_s=BUCKET, cascade=True,
+    )
+    for tier in ("1m", "1h", "1d"):
+        pd.testing.assert_frame_equal(
+            _read_sorted(spark, a_dir, tier),
+            _read_sorted(spark, b_dir, tier),
+        )
+
+
+def test_cascade_rejects_unknown_tier(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    df = load_transcripts(spark, sf_dir)
+    with _pytest.raises(ValueError):
+        run_pipeline(
+            spark, df, str(tmp_path / "x"), input_path=sf_dir,
+            tiers=("5m",), bucket_s=BUCKET, cascade=True,
+        )
