@@ -221,16 +221,26 @@ def minhash_lsh_pairs(
     # to the co-shingle pair blow-up a full shingle self-join would
     # enumerate, so this is two shuffle joins on doc_id instead of an
     # O(sum bucket^2) pair expansion + groupBy.
-    sets_ = docs.select("doc_id", _shingles().alias("sh_arr"))
+    # Checkpointed: a_sets/b_sets both derive from it, and the 2M-doc
+    # A/B showed the verify stage is memory-bandwidth-bound — computing
+    # the shingle arrays once instead of twice is pure savings.
+    sets_ = docs.select(
+        "doc_id", _shingles().alias("sh_arr")
+    ).localCheckpoint()
     a_sets = sets_.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a")
     )
     b_sets = sets_.select(
         F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b")
     )
+    # shuffle_hash hints on the candidate side: the default SortMergeJoin
+    # sorts the multi-GB shingle-array relation TWICE per run (and sort
+    # is exactly the bandwidth-bound step on a shared-memory box / a
+    # real cluster's shuffle tier); hashing the small candidate side and
+    # streaming the arrays removes both sorts without touching semantics
     verified = (
-        cand.join(a_sets, "doc_a")
-        .join(b_sets, "doc_b")
+        cand.hint("shuffle_hash").join(a_sets, "doc_a")
+        .hint("shuffle_hash").join(b_sets, "doc_b")
         .select(
             "doc_a",
             "doc_b",
