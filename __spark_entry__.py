@@ -592,6 +592,35 @@ def _q_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def _q_stream_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gorilla/DoD chunk writer drained over time-ranged
+    micro-batches, then decoded: closed-bucket blobs must decode to
+    exactly the non-null points whose 1h bucket precedes the series'
+    final bucket (the open tail is held as state, never emitted)."""
+    import uuid
+
+    from streamevmon_spark.operators.chunks import decompress_chunks
+    from streamevmon_spark.streaming import rollup_stream as S
+    from streamevmon_spark.streaming.chunk_stream import (
+        stream_compress_chunks,
+    )
+
+    path = _stream_input(spark, sf_dir)
+    out = f"/tmp/q_scc_{uuid.uuid4().hex[:8]}"
+    S.run_available_now_to_parquet(
+        stream_compress_chunks(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            chunk_tier="1h",
+        ),
+        out,
+    )
+    return decompress_chunks(
+        spark.read.parquet(out).select(
+            "conv_id", "tool", "role", "ts_dod", "values_gorilla"
+        )
+    )
+
+
 def _q_flows_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The YamlDagRunner analogue end-to-end: a declarative flows spec
     (two detectors over one transcripts source, one union sink, plus a
@@ -1374,10 +1403,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detector and its window-SQL oracle
         "stream_detect_loss": _q_stream_detect_loss,
         "stream_detect_spike": _q_stream_detect_spike,
-        # new r3 (post-window; r04 window candidate): LTTB visual
-        # downsampling — shape-preserving raw-point selection per
-        # series, recursive-CTE greedy-walk oracle
+        # new r3 (post-window; r04 window candidates): LTTB visual
+        # downsampling (recursive-CTE greedy-walk oracle) and the
+        # streaming chunk writer (closed-bucket blobs decoded back to
+        # points, checked against the closed-bucket point oracle)
         "downsample_lttb": _q_downsample_lttb,
+        "stream_chunks_closed": _q_stream_chunks,
     }
 
 
@@ -1521,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "downsample_lttb": oracles.lttb_oracle(64),
+        "stream_chunks_closed": oracles.stream_chunks_closed_oracle("1h"),
         "flows_dag": (
             "SELECT * FROM ("
             + oracles.loss_events_oracle(

@@ -2152,3 +2152,26 @@ UNION ALL
 SELECT conv_id, tool, role, ts, value FROM small
 """
     return with_transcripts(body)
+
+
+def stream_chunks_closed_oracle(tier: str = "1h") -> str:
+    """Expected decode of the streaming chunk writer's drained output
+    (streaming/chunk_stream.stream_compress_chunks): exactly the
+    non-null points whose chunk bucket precedes the series' final
+    (open) bucket."""
+    chunk_us = TIERS[tier] * 1_000_000
+    body = f"""
+, pts AS (
+    SELECT conv_id, tool, role, epoch_us(ts) AS ts_us, value,
+           (epoch_us(ts) // {chunk_us}) * {chunk_us} AS bk
+    FROM transcripts WHERE value IS NOT NULL
+),
+m AS (
+    SELECT conv_id, tool, role, max(bk) AS mb
+    FROM pts GROUP BY conv_id, tool, role
+)
+SELECT p.conv_id, p.tool, p.role, p.ts_us, p.value
+FROM pts p JOIN m USING (conv_id, tool, role)
+WHERE p.bk < m.mb
+"""
+    return with_transcripts(body)

@@ -349,3 +349,61 @@ def test_stream_gap_fill_equals_batch(spark):
     got["grid_ts"] = got["grid_ts"].astype("datetime64[us]")
     exp["grid_ts"] = exp["grid_ts"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_stream_compress_chunks_equals_batch_closed_buckets(spark):
+    """Streaming chunk writer drained over time-ranged micro-batches:
+    every CLOSED (series, bucket) blob must be byte-identical to the
+    batch compress_chunks build of the same points; the per-series open
+    (final) bucket is held back as state, never emitted."""
+    import pandas as pd
+
+    from streamevmon_spark.data.transcripts import load_transcripts
+    from streamevmon_spark.operators.chunks import compress_chunks
+    from streamevmon_spark.streaming.chunk_stream import (
+        stream_compress_chunks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = S.materialize_transcripts(
+        spark, sf_dir, S.stream_input_dir(sf_dir)
+    )
+    name = f"t_scc_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        stream_compress_chunks(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            chunk_tier="1h",
+        ),
+        name,
+        output_mode="append",
+    )
+    got = spark.table(name).toPandas()
+
+    df = load_transcripts(spark, sf_dir)
+    pts = df.where(F.col("value").isNotNull()).select(
+        "conv_id", "tool", "role",
+        F.expr(
+            "datediff(MICROSECOND, timestamp_ntz'1970-01-01', ts)"
+        ).alias("ts_us"),
+        "value",
+    )
+    chunk_us = 3600 * 1_000_000
+    closed = pts.withColumn(
+        "__b", F.expr(f"(ts_us div {chunk_us}) * {chunk_us}")
+    ).withColumn(
+        "__maxb",
+        F.expr(
+            "max(__b) over (partition by conv_id, tool, role)"
+        ),
+    ).where(F.col("__b") < F.col("__maxb")).drop("__b", "__maxb")
+    exp = compress_chunks(closed, "1h").toPandas()
+
+    key = ["conv_id", "tool", "role", "chunk_us"]
+    got = got.sort_values(key, ignore_index=True)
+    exp = exp.sort_values(key, ignore_index=True)
+    got["ts_dod"] = got["ts_dod"].map(bytes)
+    got["values_gorilla"] = got["values_gorilla"].map(bytes)
+    exp["ts_dod"] = exp["ts_dod"].map(bytes)
+    exp["values_gorilla"] = exp["values_gorilla"].map(bytes)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp)
