@@ -221,26 +221,28 @@ def minhash_lsh_pairs(
     # to the co-shingle pair blow-up a full shingle self-join would
     # enumerate, so this is two shuffle joins on doc_id instead of an
     # O(sum bucket^2) pair expansion + groupBy.
-    # Checkpointed: a_sets/b_sets both derive from it, and the 2M-doc
-    # A/B showed the verify stage is memory-bandwidth-bound — computing
-    # the shingle arrays once instead of twice is pure savings.
-    sets_ = docs.select(
-        "doc_id", _shingles().alias("sh_arr")
-    ).localCheckpoint()
+    #
+    # Join-strategy notes, measured at 2M docs on this box:
+    # - the FIRST join hashes the ids-only candidate side
+    #   (shuffle_hash) — a bounded per-partition build that removes one
+    #   of the two full sorts of the multi-GB array relation;
+    # - the SECOND join stays SortMergeJoin deliberately: every
+    #   alternative build side there carries shingle ARRAYS, and a
+    #   per-partition hash build of an array relation OOMs small heaps
+    #   (an 8 GB child died; SMJ spills instead). An exploded
+    #   (doc, shingle)-row verify was also measured: memory-safe but
+    #   ~2-4x slower — its two tokens-sized shuffles dominate
+    #   regardless of candidate count.
+    sets_ = docs.select("doc_id", _shingles().alias("sh_arr"))
     a_sets = sets_.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a")
     )
     b_sets = sets_.select(
         F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b")
     )
-    # shuffle_hash hints on the candidate side: the default SortMergeJoin
-    # sorts the multi-GB shingle-array relation TWICE per run (and sort
-    # is exactly the bandwidth-bound step on a shared-memory box / a
-    # real cluster's shuffle tier); hashing the small candidate side and
-    # streaming the arrays removes both sorts without touching semantics
     verified = (
         cand.hint("shuffle_hash").join(a_sets, "doc_a")
-        .hint("shuffle_hash").join(b_sets, "doc_b")
+        .join(b_sets, "doc_b")
         .select(
             "doc_a",
             "doc_b",
