@@ -1186,14 +1186,17 @@ def _q_embs(fn: str, **kw):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS gate checks exactly the
-    # first 50 entries. This dict leads with every query that has never
-    # appeared in a driver CORRECTNESS record (43 as of r3: the 34 rounds
-    # 1-2 left unrecorded plus 9 new this round), then the most-stale
-    # r01-only rows fill the window to 50. The r01/r02-green remainder
-    # follows after position 50; the union of r01+r02+r03 driver records
-    # then covers every registered query.
+    # first 50 entries. STANDING RULE (r2+r3 lesson): every query with no
+    # driver CORRECTNESS record ever — including everything added this
+    # round — goes at the FRONT; r0N-green rows fill the window behind
+    # them, most-stale first. The union of r01..r04 driver records then
+    # covers every registered query.
     return {
-        # --- never driver-checked (34) -------------------------------
+        # --- never driver-checked: r3 additions that sat past the
+        # window (2) + every r4 addition ------------------------------
+        "downsample_lttb": _q_downsample_lttb,
+        "stream_chunks_closed": _q_stream_chunks,
+        # --- r03-green, kept in-window (most recently changed code) --
         # topology-graph family (reference events/grouping/graph/*):
         # traceroute paths -> vertex/edge relations -> prune + largest
         # component -> parallel-anonymous merges -> stream distances ->
@@ -1403,12 +1406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detector and its window-SQL oracle
         "stream_detect_loss": _q_stream_detect_loss,
         "stream_detect_spike": _q_stream_detect_spike,
-        # new r3 (post-window; r04 window candidates): LTTB visual
-        # downsampling (recursive-CTE greedy-walk oracle) and the
-        # streaming chunk writer (closed-bucket blobs decoded back to
-        # points, checked against the closed-bucket point oracle)
-        "downsample_lttb": _q_downsample_lttb,
-        "stream_chunks_closed": _q_stream_chunks,
     }
 
 

@@ -14,8 +14,12 @@ Cross-engine determinism (oracles.lttb_oracle replays the greedy walk
 as a recursive CTE with a NOT-EXISTS argmax):
 - x is integer µs (exact in double below 2^53);
 - y is floor(value * 1e6) integer quantization (floor of a double is
-  exact, sums stay in int64), so bucket-average anchors are a single
-  CAST(exact-int AS DOUBLE)/count division in both engines;
+  exact), and bucket-average anchors are computed REBASED per bucket:
+  anchor = double(min) + double(sum(v - min)) / double(count), with
+  the identical operand order in both engines. Rebasing bounds the
+  integer sum by count * in-bucket span (raw epoch-µs sums would wrap
+  int64 silently once a bucket holds ~5000 points); an explicit guard
+  asserts the bound so overflow can never pass silently;
 - the triangle-area formula is written with the identical operand
   order, so IEEE doubles agree bit-for-bit and both engines pick the
   same argmax (ties -> first point in (ts, turn_idx) order).
@@ -59,20 +63,42 @@ def lttb_select(
     bounds = _bucket_bounds(m, B) + 1  # absolute indices into x/y
     xd = x.astype(np.float64)
     yd = y.astype(np.float64)
-    # per-bucket anchors: average of the NEXT bucket (exact-int sums,
-    # one double division), last bucket anchored on the final point
-    # reduceat over all B+1 boundaries, keep the first B segments (the
-    # trailing [bounds[B], n) segment is the final point, not a bucket)
-    sum_x = np.add.reduceat(x, bounds)[:B]
-    sum_y = np.add.reduceat(y, bounds)[:B]
+    # per-bucket anchors: average of the NEXT bucket, last bucket
+    # anchored on the final point. Sums are REBASED by the per-bucket
+    # minimum so they stay exact in int64 (raw epoch-µs values are
+    # ~1.8e15 each and wrap once a bucket holds >~5000 points); the
+    # base is added back as double(base) + double(sum)/double(cnt),
+    # byte-identical to the oracle SQL. reduceat over all B+1
+    # boundaries, keep the first B segments (the trailing
+    # [bounds[B], n) segment is the final point, not a bucket).
     cnt = np.diff(bounds)
+    base_x = np.minimum.reduceat(x, bounds)[:B]
+    base_y = np.minimum.reduceat(y, bounds)[:B]
+    span = bounds[0], bounds[B]
+    rep_x = np.repeat(base_x, cnt)
+    rep_y = np.repeat(base_y, cnt)
+    # overflow guard: count * in-bucket span must fit int64 (float
+    # compare with margin; the product itself could wrap in int64)
+    max_x = np.maximum.reduceat(x, bounds)[:B]
+    max_y = np.maximum.reduceat(y, bounds)[:B]
+    if (
+        cnt.astype(np.float64) * (max_x - base_x).astype(np.float64)
+    ).max(initial=0.0) >= 2.0**62 or (
+        cnt.astype(np.float64) * (max_y - base_y).astype(np.float64)
+    ).max(initial=0.0) >= 2.0**62:
+        raise OverflowError(
+            "lttb_select: rebased per-bucket sum would exceed int64"
+        )
+    off = bounds[:B] - span[0]
+    sum_x = np.add.reduceat(x[span[0]:span[1]] - rep_x, off)
+    sum_y = np.add.reduceat(y[span[0]:span[1]] - rep_y, off)
     ax = np.empty(B, dtype=np.float64)
     ay = np.empty(B, dtype=np.float64)
-    ax[: B - 1] = sum_x[1:].astype(np.float64) / cnt[1:].astype(
-        np.float64
+    ax[: B - 1] = base_x[1:].astype(np.float64) + (
+        sum_x[1:].astype(np.float64) / cnt[1:].astype(np.float64)
     )
-    ay[: B - 1] = sum_y[1:].astype(np.float64) / cnt[1:].astype(
-        np.float64
+    ay[: B - 1] = base_y[1:].astype(np.float64) + (
+        sum_y[1:].astype(np.float64) / cnt[1:].astype(np.float64)
     )
     ax[B - 1], ay[B - 1] = xd[n - 1], yd[n - 1]
 

@@ -2106,10 +2106,26 @@ interior AS (
     FROM big WHERE i >= 1 AND i <= n - 2
 ),
 buckets AS (
+    -- rebased-by-bucket-min anchor averages, the identical operand
+    -- order of the numpy kernel: double(min) + double(sum(v - min)) /
+    -- double(count). Raw epoch-us sums are exact HUGEINT here but
+    -- would wrap int64 in the kernel once a bucket holds ~5000
+    -- points; rebasing keeps both engines exact and bit-identical.
     SELECT conv_id, tool, role, k,
-           CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bx,
-           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS by_
-    FROM interior GROUP BY conv_id, tool, role, k
+           CAST(min(x) AS DOUBLE)
+             + CAST(sum(x - minx) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS bx,
+           CAST(min(y) AS DOUBLE)
+             + CAST(sum(y - miny) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS by_
+    FROM (
+        SELECT *,
+               min(x) OVER (
+                   PARTITION BY conv_id, tool, role, k) AS minx,
+               min(y) OVER (
+                   PARTITION BY conv_id, tool, role, k) AS miny
+        FROM interior
+    ) GROUP BY conv_id, tool, role, k
 ),
 anchors AS (
     SELECT conv_id, tool, role, k - 1 AS k, bx, by_

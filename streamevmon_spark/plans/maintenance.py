@@ -113,6 +113,16 @@ def compact_partitions(
             if tier in part.expired_tiers:
                 continue
             d = _tier_dir(out_dir, tier, part.part_id)
+            # crash recovery: a previous run may have died between the
+            # two renames below, leaving the data parked in
+            # '*.__compact_old' with no live dir. Restore it before
+            # deciding anything (and clear stray tmp dirs) — otherwise
+            # the partition would be skipped forever and manifest-driven
+            # reads would fail on the missing path.
+            old = d + ".__compact_old"
+            if not os.path.isdir(d) and os.path.isdir(old):
+                os.rename(old, d)
+            shutil.rmtree(d + ".__compact_tmp", ignore_errors=True)
             if not os.path.isdir(d):
                 continue
             files = [
@@ -122,15 +132,16 @@ def compact_partitions(
             if len(files) <= target_files:
                 continue
             tmp = d + ".__compact_tmp"
-            old = d + ".__compact_old"
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(old, ignore_errors=True)
             spark.read.parquet(d).coalesce(target_files).write.mode(
                 "overwrite"
             ).parquet(tmp)
-            # swap: the live dir is replaced only after the rewrite
-            # fully succeeded; a crash between the renames leaves
-            # either the old dir or the new one — both complete
+            # swap: the rewrite fully succeeded before the live dir is
+            # touched. A crash between the two renames leaves the data
+            # complete but parked in '*.__compact_old'; the recovery
+            # step at the top of this loop renames it back on the next
+            # run, so readers see a live dir again.
             os.rename(d, old)
             os.rename(tmp, d)
             shutil.rmtree(old)
@@ -152,6 +163,11 @@ def run_maintenance(
     if m is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
     expired = expire_partitions(out_dir, now_us, retention_s, manifest=m)
+    if expired:
+        # persist tombstones BEFORE the (potentially long) compaction
+        # jobs: the dirs are already deleted, and a crash here must not
+        # leave manifest rows pointing at missing paths
+        save_manifest(out_dir, m)
     compacted: dict[str, list[str]] = {}
     if compact_target_files is not None:
         compacted = compact_partitions(

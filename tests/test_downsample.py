@@ -113,3 +113,65 @@ def test_downsample_plan_single_exchange(spark, sf_dir):
 def test_n_out_validation(spark, sf_dir):
     with pytest.raises(ValueError):
         downsample_lttb(load_transcripts(spark, sf_dir), 2)
+
+
+def _ref_lttb(x, y, n_out):
+    """Arbitrary-precision reference walk (python ints for the rebased
+    anchor sums, floats in the kernel's operand order)."""
+    n = len(x)
+    if n <= n_out:
+        return list(range(n))
+    m, B = n - 2, n_out - 2
+    bounds = [(k * m) // B + 1 for k in range(B + 1)]
+    sel = [0]
+    px, py = float(x[0]), float(y[0])
+    for k in range(B):
+        lo, hi = bounds[k], bounds[k + 1]
+        if k < B - 1:
+            nlo, nhi = bounds[k + 1], bounds[k + 2]
+            cnt = nhi - nlo
+            bx = min(int(v) for v in x[nlo:nhi])
+            by = min(int(v) for v in y[nlo:nhi])
+            ax = float(bx) + float(
+                sum(int(v) - bx for v in x[nlo:nhi])
+            ) / float(cnt)
+            ay = float(by) + float(
+                sum(int(v) - by for v in y[nlo:nhi])
+            ) / float(cnt)
+        else:
+            ax, ay = float(x[n - 1]), float(y[n - 1])
+        best, best_area = lo, -1.0
+        for j in range(lo, hi):
+            area = abs(
+                (px - ax) * (float(y[j]) - py)
+                - (px - float(x[j])) * (ay - py)
+            )
+            if area > best_area:
+                best_area, best = area, j
+        sel.append(best)
+        px, py = float(x[best]), float(y[best])
+    sel.append(n - 1)
+    return sel
+
+
+def test_lttb_no_int64_overflow_on_epoch_us():
+    # epoch-µs timestamps (~1.7e15) with >5000-point buckets: a raw
+    # int64 reduceat sum would wrap silently; the rebased kernel must
+    # match an arbitrary-precision reference exactly
+    rng = np.random.default_rng(7)
+    n = 20_001
+    x = 1_700_000_000_000_000 + np.arange(n, dtype=np.int64) * 250_000
+    y = rng.integers(0, 5_000_000, size=n).astype(np.int64)
+    for n_out in (3, 5, 16):
+        got = lttb_select(x, y, n_out).tolist()
+        assert got == _ref_lttb(x, y, n_out), n_out
+
+
+def test_lttb_overflow_guard_raises():
+    # adversarial span*count product beyond int64 even after rebasing:
+    # the kernel must refuse rather than wrap
+    n = 8_192
+    x = np.arange(n, dtype=np.int64) * (2**50)
+    y = np.zeros(n, dtype=np.int64)
+    with pytest.raises(OverflowError):
+        lttb_select(x, y, 3)

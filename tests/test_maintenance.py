@@ -136,3 +136,62 @@ def test_compaction_preserves_rows_and_reduces_files(spark, store):
 def test_maintenance_requires_manifest(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         run_maintenance(spark, str(tmp_path / "nope"), 0)
+
+
+def test_compaction_crash_recovery(spark, store):
+    out, _ = store
+    m = load_manifest(out)
+    live_part = next(
+        p for p in sorted(m.partitions, key=lambda q: q.start_us)
+        if "1m" not in p.expired_tiers
+    )
+    d = os.path.join(out, "rollup_1m", live_part.part_id)
+    before = _read_sorted(spark, out, "1m")
+    # simulate a crash between the two renames: live dir gone, data
+    # parked in '*.__compact_old', a stale tmp dir also present
+    os.rename(d, d + ".__compact_old")
+    os.makedirs(d + ".__compact_tmp", exist_ok=True)
+    assert not os.path.isdir(d)
+    compact_partitions(spark, out, target_files=1)
+    # recovery restored the live dir (then compacted it as usual);
+    # stray dirs are gone and no rows were lost
+    assert os.path.isdir(d)
+    assert not os.path.exists(d + ".__compact_old")
+    assert not os.path.exists(d + ".__compact_tmp")
+    pd.testing.assert_frame_equal(_read_sorted(spark, out, "1m"), before)
+
+
+def test_expiry_tombstones_persist_before_compaction(spark, sf_dir, tmp_path):
+    # run_maintenance must save the tombstoned manifest right after the
+    # dirs are deleted, even if compaction later fails — otherwise a
+    # crash leaves manifest rows pointing at missing paths
+    out = str(tmp_path / "store")
+    df = load_transcripts(spark, sf_dir)
+    m = run_pipeline(
+        spark, df, out, input_path=sf_dir, tiers=("1m",), bucket_s=BUCKET
+    )
+    parts = sorted(m.partitions, key=lambda p: p.start_us)
+    now_us = parts[0].end_us + BUCKET * 1_000_000
+
+    import streamevmon_spark.plans.maintenance as maint
+
+    orig = maint.compact_partitions
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated compaction crash")
+
+    maint.compact_partitions = boom
+    try:
+        with pytest.raises(RuntimeError):
+            maint.run_maintenance(
+                spark, out, now_us, retention_s={"1m": BUCKET},
+                compact_target_files=1,
+            )
+    finally:
+        maint.compact_partitions = orig
+    # the on-disk manifest already carries the tombstone, so reads skip
+    # the deleted path instead of raising
+    m2 = load_manifest(out)
+    p0 = next(p for p in m2.partitions if p.part_id == parts[0].part_id)
+    assert "1m" in p0.expired_tiers
+    read_rollup(spark, out, "1m").count()  # must not raise
