@@ -176,6 +176,50 @@ def _q_chunk_compact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cascade_store_dir(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(
+        tempfile.gettempdir(), f"semon_cascade_store_{h}"
+    )
+
+
+def _q_cascade_incremental(tier: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental continuous-aggregate maintenance
+        (plans/cascade_store.py): ingest in two phases (first 6 of the
+        60 h snapshot buckets, then the rest), refreshing ONLY the
+        coarse-tier day-partitions overlapped by each phase's new
+        snapshot ranges from the stored mergeable 1m state — the raw
+        table is never rescanned for 1h/1d. The result must hash-equal
+        the full-rebuild rollup oracle (reference lifecycle:
+        flink/sources/InfluxAmpSourceFunction.scala:130-159,257-275 —
+        catch-up from checkpointed offsets, then continuous maintain).
+        """
+        from streamevmon_spark.data.transcripts import load_transcripts
+        from streamevmon_spark.plans import cascade_store as C
+        from streamevmon_spark.plans.manifest import load_manifest
+
+        out = _cascade_store_dir(sf_dir)
+        df = load_transcripts(spark, sf_dir)
+        m = load_manifest(out)
+        if m is None or not all(
+            p.status == "done" for p in m.partitions
+        ):
+            C.run_cascade_store(
+                spark, df, out, input_path=sf_dir, stop_after=6
+            )
+        # second call ingests the remaining snapshots; with the store
+        # already complete (the twin gate query ran first) both the
+        # bucket loop and the refresh are watermark no-ops
+        C.run_cascade_store(spark, df, out, input_path=sf_dir)
+        return C.read_cascade(spark, out, tier)
+
+    return q
+
+
 def _q_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB downsample to 64 points per series (operators/downsample) —
     the read-side shape-preserving selection for dashboard rendering."""
@@ -1196,6 +1240,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (2) + every r4 addition ------------------------------
         "downsample_lttb": _q_downsample_lttb,
         "stream_chunks_closed": _q_stream_chunks,
+        # new r4: manifest-driven incremental 1h/1d cascade refresh —
+        # two-phase ingest into mergeable 1m state, day-partition
+        # overwrite for new snapshot ranges only, hash-equal to the
+        # full-rebuild oracle
+        "cascade_incremental_1h": _q_cascade_incremental("1h"),
+        "cascade_incremental_1d": _q_cascade_incremental("1d"),
         # --- r03-green, kept in-window (most recently changed code) --
         # topology-graph family (reference events/grouping/graph/*):
         # traceroute paths -> vertex/edge relations -> prune + largest
@@ -1424,6 +1474,10 @@ def oracle_sql() -> dict[str, str]:
         "cascade_exact_1d": oracles.rollup_oracle("1d"),
         "cascade_1m_1h": oracles.cascade_oracle("1h"),
         "cascade_1h_1d": oracles.cascade_oracle("1d"),
+        # incremental refresh must equal the full rebuild exactly, so
+        # the full-rebuild rollup oracle IS its oracle
+        "cascade_incremental_1h": oracles.rollup_oracle("1h"),
+        "cascade_incremental_1d": oracles.rollup_oracle("1d"),
         "inter_turn_latency": oracles.inter_turn_latency_oracle(),
         "source_typed_lossy": oracles.typed_lossy_stream_ids_oracle("click"),
         "history_scan": oracles.history_scan_oracle(

@@ -1,0 +1,305 @@
+"""Incremental (snapshot-range-driven) continuous-aggregate refresh.
+
+The reference maintains its aggregates continuously: the catch-up loop
+reads only measurements newer than the checkpointed offset and feeds
+them into the running windows (reference:
+flink/sources/InfluxAmpSourceFunction.scala:130-159,257-275). This is
+the batch-over-table re-imagination: a manifest-tracked store where
+
+- each ingest bucket (the Iceberg-snapshot analogue) is aggregated ONCE
+  into 1m MERGEABLE state (integer sums / counts / min / max AND the
+  sorted per-window latency array) written to ``state_1m/{part_id}``;
+- the coarse tiers (1h / 1d) are never rebuilt from raw: a refresh pass
+  recomputes ONLY the day-partitions overlapped by snapshot ranges
+  newer than the tier's ``last_seq`` watermark, merging the stored 1m
+  state of every bucket intersecting those days, and overwrites exactly
+  those day-partitions (Spark dynamic partition overwrite — the Iceberg
+  overwrite-partitions analogue). Untouched days are not read, not
+  computed, not rewritten.
+
+Exactness: merged state concatenates per-bucket sorted latency arrays
+and re-sorts (``sort_array(flatten(collect_list(arr)))``) — the
+identical multiset the full rebuild sees — so every column including
+the interpolated percentiles is bit-identical to
+``rollup_tiers_cascade_exact`` over the whole input (asserted in
+tests/test_cascade_store.py and by the ``cascade_incremental_*`` gate
+queries against the full-rebuild oracle).
+
+Cross-bucket lag stays exact the same way the resumable pipeline's
+does: each bucket's input is augmented with the per-series boundary row
+from earlier buckets (plans/manifest.build_boundary_table), so the
+first in-bucket turn of every series carries its true inter-turn
+latency even though earlier raw rows are never rescanned.
+
+Scale: a day of new data touches one day-partition per coarse tier; the
+refresh reads the 1m state (thousands of rows per series-day, not raw
+turns) of the few buckets overlapping it. At 10^12 turns the raw table
+is read exactly once per ingest bucket, ever.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamevmon_spark.operators.rollup import (
+    EPOCH_NTZ,
+    SERIES_KEY,
+    TIERS,
+    _raw_to_final,
+    _with_window_and_quant,
+    add_inter_turn_latency_bucketed,
+)
+from streamevmon_spark.plans.manifest import (
+    BOUNDARY_DIR,
+    Manifest,
+    _fingerprint,
+    build_boundary_table,
+    load_manifest,
+    plan_partitions,
+    save_manifest,
+)
+from streamevmon_spark.plans.pipeline import ROLLUP_SCHEMA, _bucket_input
+
+STATE_DIR = "state_1m"
+DAY_US = 86400 * 1_000_000
+
+#: default ingest bucket: 60 h — deliberately NOT a multiple of 1 d, so
+#: 1d windows straddle bucket boundaries and the refresh genuinely
+#: merges state across snapshots (a 1d-aligned bucket would hide that
+#: path entirely)
+DEFAULT_BUCKET_S = 216_000
+
+
+def _state_1m(unioned: DataFrame) -> DataFrame:
+    """Mergeable 1m aggregate state for one bucket's (boundary-
+    augmented) rows: the same aggregate spec as the cascade head
+    (operators/rollup.rollup_tiers_cascade_exact), keyed by the integer
+    window start ``__w_us``."""
+    win_us = 60 * 1_000_000
+    with_lat = _with_window_and_quant(
+        add_inter_turn_latency_bucketed(unioned), win_us
+    )
+    return with_lat.groupBy(*SERIES_KEY, "__w_us").agg(
+        F.count(F.lit(1)).alias("turn_count"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+            "lossy_count"
+        ),
+        F.sum("lat_us").alias("__lat_sum"),
+        F.count("lat_us").alias("__lat_cnt"),
+        F.min("lat_us").alias("__lat_min"),
+        F.max("lat_us").alias("__lat_max"),
+        F.sort_array(F.collect_list("lat_us")).alias("__lat_arr"),
+        F.sum("__val_q").alias("__val_sum"),
+        F.count("__val_q").alias("__val_cnt"),
+    )
+
+
+def _merge_state(finer: DataFrame, win_us: int) -> DataFrame:
+    """Merge finer mergeable state up into ``win_us`` windows — sorted
+    array concatenation keeps even percentiles exact."""
+    return (
+        finer.withColumn(
+            "__w_up", F.expr(f"(__w_us div {win_us}) * {win_us}")
+        )
+        .groupBy(*SERIES_KEY, F.col("__w_up").alias("__w_us"))
+        .agg(
+            F.sum("turn_count").alias("turn_count"),
+            F.sum("lossy_count").alias("lossy_count"),
+            F.sum("__lat_sum").alias("__lat_sum"),
+            F.sum("__lat_cnt").alias("__lat_cnt"),
+            F.min("__lat_min").alias("__lat_min"),
+            F.max("__lat_max").alias("__lat_max"),
+            F.sort_array(F.flatten(F.collect_list("__lat_arr"))).alias(
+                "__lat_arr"
+            ),
+            F.sum("__val_sum").alias("__val_sum"),
+            F.sum("__val_cnt").alias("__val_cnt"),
+        )
+    )
+
+
+def run_cascade_store(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    input_path: str = "",
+    coarse_tiers: tuple[str, ...] = ("1h", "1d"),
+    bucket_s: int = DEFAULT_BUCKET_S,
+    stop_after: int | None = None,
+    run_id: str | None = None,
+    refresh: bool = True,
+) -> Manifest:
+    """Ingest all pending buckets into 1m state, then incrementally
+    refresh the coarse tiers for the new snapshot ranges. Resumable and
+    idempotent exactly like plans/pipeline.run_pipeline: a second call
+    skips done buckets, and the refresh watermark skips already-
+    incorporated snapshots."""
+    manifest = load_manifest(out_dir)
+    fp = _fingerprint(input_path) if input_path else "inline"
+    if manifest is None or manifest.input_fingerprint != fp:
+        manifest = Manifest(
+            run_id=run_id or uuid.uuid4().hex[:12],
+            input_fingerprint=fp,
+            tiers=["1m", *coarse_tiers],
+            partitions=plan_partitions(df, bucket_s),
+        )
+        save_manifest(out_dir, manifest)
+    bpath = os.path.join(out_dir, BOUNDARY_DIR)
+    if os.path.exists(bpath):
+        boundaries = spark.read.parquet(bpath)
+    else:
+        boundaries = build_boundary_table(spark, df, out_dir, bucket_s)
+
+    done_now = 0
+    for part in manifest.partitions:
+        if part.status == "done":
+            continue
+        if stop_after is not None and done_now >= stop_after:
+            break
+        t0 = time.monotonic()
+        unioned = _bucket_input(df, boundaries, part.start_us, part.end_us)
+        state = _state_1m(unioned).where(
+            (F.col("__w_us") >= part.start_us)
+            & (F.col("__w_us") < part.end_us)
+        )
+        dest = os.path.join(out_dir, STATE_DIR, part.part_id)
+        state.write.mode("overwrite").parquet(dest)
+        # metrics from the (small) written state, not a raw rescan:
+        # turn_count sums to exactly the bucket's raw rows (boundary
+        # rows fall in out-of-bucket windows and were filtered)
+        written = spark.read.parquet(dest)
+        stats = written.groupBy("conv_id").agg(
+            F.sum("turn_count").alias("n")
+        )
+        hot = stats.orderBy(F.desc("n"), "conv_id").limit(3).collect()
+        rows_in = stats.agg(F.sum("n")).collect()[0][0] or 0
+        wall = time.monotonic() - t0
+        part.status = "done"
+        part.seq = max((q.seq for q in manifest.partitions), default=0) + 1
+        part.rows_in = int(rows_in)
+        part.rows_out = {"state_1m": written.count()}
+        part.wall_s = round(wall, 3)
+        part.turns_per_sec = (
+            round(rows_in / wall, 1) if wall > 0 else 0.0
+        )
+        part.hot_series = [[r["conv_id"], int(r["n"])] for r in hot]
+        save_manifest(out_dir, manifest)
+        done_now += 1
+
+    if refresh:
+        refresh_cascade(spark, out_dir, coarse_tiers, manifest=manifest)
+    return manifest
+
+
+def refresh_cascade(
+    spark: SparkSession,
+    out_dir: str,
+    coarse_tiers: tuple[str, ...] = ("1h", "1d"),
+    manifest: Manifest | None = None,
+) -> dict[str, list[int]]:
+    """Refresh each coarse tier for snapshot ranges newer than its
+    watermark. Returns {tier: [refreshed epoch-day ids]} (empty lists =
+    up to date). Only the overlapped day-partitions are read, merged
+    and overwritten (dynamic partition overwrite)."""
+    m = manifest or load_manifest(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    done = [p for p in m.partitions if p.status == "done"]
+    refreshed: dict[str, list[int]] = {}
+    changed = False
+    for tier in coarse_tiers:
+        win_us = TIERS[tier] * 1_000_000
+        entry = m.cascade.setdefault(
+            tier, {"last_seq": 0, "days": [], "log": []}
+        )
+        new_parts = [p for p in done if p.seq > entry["last_seq"]]
+        refreshed[tier] = []
+        if not new_parts:
+            continue
+        # day-partitions overlapped by the new snapshot ranges — the
+        # refresh/overwrite unit (1d windows == one day; 1h windows
+        # nest inside one)
+        days = sorted(
+            {
+                d
+                for p in new_parts
+                for d in range(
+                    p.start_us // DAY_US,
+                    (p.end_us + DAY_US - 1) // DAY_US,
+                )
+            }
+        )
+        lo_us, hi_us = days[0] * DAY_US, (days[-1] + 1) * DAY_US
+        # every done bucket intersecting an affected day contributes
+        # state (old snapshots included — that IS the merge)
+        paths = [
+            os.path.join(out_dir, STATE_DIR, p.part_id)
+            for p in done
+            if p.start_us < hi_us and p.end_us > lo_us
+        ]
+        day_set = set(days)
+        state = (
+            spark.read.parquet(*paths)
+            .withColumn("__cday", F.expr(f"__w_us div {DAY_US}"))
+            .where(F.col("__cday").isin(*day_set))
+        )
+        merged = _merge_state(state, win_us)
+        out = _raw_to_final(merged, TIERS[tier]).withColumn(
+            "__cday",
+            F.expr(
+                f"datediff(MICROSECOND, {EPOCH_NTZ}, window_start)"
+                f" div {DAY_US}"
+            ),
+        )
+        dest = os.path.join(out_dir, f"cascade_{tier}")
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__cday")
+            .parquet(dest)
+        )
+        entry["last_seq"] = max(p.seq for p in new_parts)
+        # record only days that produced output: an affected day with
+        # no windows (bucket grid overhang past the data) writes no
+        # partition dir, and readers must not ask for it
+        on_disk = {
+            int(n.split("=")[1])
+            for n in os.listdir(dest)
+            if n.startswith("__cday=")
+        }
+        entry["days"] = sorted((set(entry["days"]) | day_set) & on_disk)
+        entry["log"].append(
+            {
+                "seqs": sorted(p.seq for p in new_parts),
+                "days": days,
+            }
+        )
+        refreshed[tier] = days
+        changed = True
+    if changed:
+        save_manifest(out_dir, m)
+    return refreshed
+
+
+def read_cascade(
+    spark: SparkSession, out_dir: str, tier: str
+) -> DataFrame:
+    """The continuously-maintained coarse rollup: manifest-tracked
+    day-partitions, public rollup columns."""
+    m = load_manifest(out_dir)
+    entry = (m.cascade if m else {}).get(tier)
+    if not entry or not entry["days"]:
+        return spark.createDataFrame([], ROLLUP_SCHEMA)
+    root = os.path.join(out_dir, f"cascade_{tier}")
+    return (
+        spark.read.option("basePath", root)
+        .parquet(
+            *[os.path.join(root, f"__cday={d}") for d in entry["days"]]
+        )
+        .drop("__cday")
+    )

@@ -76,6 +76,10 @@ class Manifest:
     # changed anything ({"now_us", "expired": {tier: [part_id, ...]},
     # "compacted": {tier: [part_id, ...]}})
     maintenance: list = field(default_factory=list)
+    # incremental continuous-aggregate refresh state, per coarse tier
+    # (plans/cascade_store.py): {"1h": {"last_seq": N, "days": [...],
+    # "log": [{"seqs": [...], "days": [...], "rows": n}]}, ...}
+    cascade: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = asdict(self)

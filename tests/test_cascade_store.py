@@ -1,0 +1,135 @@
+"""Incremental continuous-aggregate refresh (plans/cascade_store.py):
+append-then-refresh must equal a full rebuild bit-for-bit, the refresh
+must touch ONLY the day-partitions overlapped by new snapshot ranges,
+and the watermark must make re-refresh a no-op."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from streamevmon_spark.data.transcripts import load_transcripts
+from streamevmon_spark.operators.rollup import rollup_tiers_cascade_exact
+from streamevmon_spark.plans.cascade_store import (
+    DAY_US,
+    read_cascade,
+    refresh_cascade,
+    run_cascade_store,
+)
+from streamevmon_spark.plans.manifest import load_manifest
+
+BUCKET_S = 216_000  # 60 h: 1d windows straddle bucket boundaries
+
+
+def _sorted(df):
+    return df.toPandas().sort_values(
+        ["conv_id", "tool", "role", "window_start"], ignore_index=True
+    )
+
+
+@pytest.fixture(scope="module")
+def stores(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("casc")
+    df = load_transcripts(spark, sf_dir)
+    inc = str(base / "incremental")
+    # phase 1: first 4 buckets, refresh; phase 2: the rest, refresh
+    m1 = run_cascade_store(
+        spark, df, inc, input_path=sf_dir, bucket_s=BUCKET_S,
+        stop_after=4,
+    )
+    assert sum(p.status == "done" for p in m1.partitions) == 4
+    phase1 = {t: _sorted(read_cascade(spark, inc, t)) for t in ("1h", "1d")}
+    m2 = run_cascade_store(
+        spark, df, inc, input_path=sf_dir, bucket_s=BUCKET_S
+    )
+    assert all(p.status == "done" for p in m2.partitions)
+    return df, inc, phase1
+
+
+def test_incremental_equals_full_rebuild(spark, stores):
+    df, inc, _ = stores
+    full = rollup_tiers_cascade_exact(df)
+    try:
+        for tier in ("1h", "1d"):
+            got = _sorted(read_cascade(spark, inc, tier))
+            exp = _sorted(full[tier])
+            pd.testing.assert_frame_equal(got, exp)
+    finally:
+        for s in full["_state"]:
+            s.unpersist()
+
+
+def test_straddling_windows_actually_merged(stores):
+    # sanity of the fixture itself: with 60 h buckets some 1d windows
+    # span two snapshots, so phase-2 must have REVISED rows phase 1 had
+    # already emitted (not only appended new ones) — the merge path ran
+    df, inc, phase1 = stores
+    m = load_manifest(inc)
+    p1d = phase1["1d"].set_index(["conv_id", "tool", "role", "window_start"])
+    assert len(p1d) > 0
+    # at least one phase-1 1d row belongs to a day overlapping bucket 4+
+    boundary_us = sorted(p.start_us for p in m.partitions)[4]
+    revised_days = {boundary_us // DAY_US}
+    ws_us = (
+        pd.to_datetime(
+            p1d.index.get_level_values("window_start")
+        ).astype("int64")
+        // 1000
+    )
+    assert (ws_us // DAY_US).isin(revised_days).any()
+
+
+def test_refresh_touches_only_affected_days(spark, sf_dir, tmp_path):
+    df = load_transcripts(spark, sf_dir)
+    out = str(tmp_path / "store")
+    run_cascade_store(
+        spark, df, out, input_path=sf_dir, bucket_s=BUCKET_S,
+        stop_after=4,
+    )
+    m = load_manifest(out)
+    last_day_done = max(
+        p.end_us for p in m.partitions if p.status == "done"
+    ) // DAY_US
+    root = os.path.join(out, "cascade_1h")
+    untouched = {
+        d: os.path.getmtime(os.path.join(root, d))
+        for d in os.listdir(root)
+        if d.startswith("__cday=")
+        and int(d.split("=")[1]) < last_day_done - 1
+    }
+    assert untouched, "fixture needs settled early days"
+    run_cascade_store(
+        spark, df, out, input_path=sf_dir, bucket_s=BUCKET_S
+    )
+    for d, mtime in untouched.items():
+        assert os.path.getmtime(os.path.join(root, d)) == mtime, (
+            f"refresh rewrote settled day-partition {d}"
+        )
+
+
+def test_refresh_watermark_noop(spark, stores):
+    _, inc, _ = stores
+    m_before = load_manifest(inc)
+    logs = {t: len(m_before.cascade[t]["log"]) for t in ("1h", "1d")}
+    res = refresh_cascade(spark, inc)
+    assert res == {"1h": [], "1d": []}
+    m_after = load_manifest(inc)
+    for t in ("1h", "1d"):
+        assert len(m_after.cascade[t]["log"]) == logs[t]
+
+
+def test_manifest_lineage_recorded(stores):
+    _, inc, _ = stores
+    m = load_manifest(inc)
+    for t in ("1h", "1d"):
+        entry = m.cascade[t]
+        assert entry["last_seq"] == max(p.seq for p in m.partitions)
+        assert len(entry["log"]) == 2  # one refresh per phase
+        # second refresh only covered the new snapshots' day span
+        assert min(entry["log"][1]["seqs"]) > max(entry["log"][0]["seqs"])
+    for p in m.partitions:
+        assert p.rows_out.get("state_1m", 0) > 0
+        assert p.turns_per_sec > 0
+        assert p.hot_series
