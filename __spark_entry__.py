@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from streamevmon_spark import (  # noqa: E402
     amp2_oracles,
     docs_oracles,
+    esmond_oracles,
+    flow_oracles,
     graph_oracles,
     itdk_oracles,
     oracles,
@@ -1016,6 +1018,66 @@ def _amp2_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _AMP2_LINES_CACHE[key]
 
 
+def _esmond_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth esmond time-series entries, materialized once per session
+    (the generator localCheckpoints, see sources/esmond)."""
+    from streamevmon_spark.sources import esmond as E
+
+    key = (spark.sparkContext.applicationId, sf_dir, "esmond_entries")
+    if key not in _AMP2_LINES_CACHE:
+        _AMP2_LINES_CACHE[key] = E.synth_esmond_entries(
+            _events(spark, sf_dir)
+        )
+    return _AMP2_LINES_CACHE[key]
+
+
+def _q_esmond_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EsmondMeasurement.apply over all 6 concrete esmond types: REST
+    base-URI stream ids, per-class payload summaries, unknown event
+    types dropped whole (the reference throws)."""
+    from streamevmon_spark.sources import esmond as E
+
+    return E.esmond_typed(_esmond_entries(spark, sf_dir))
+
+
+def _q_esmond_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream bucket-wise histogram merge over the typed Histogram
+    entries (keys string->double, counts summed)."""
+    from streamevmon_spark.sources import esmond as E
+
+    return E.esmond_histogram_merged(_esmond_entries(spark, sf_dir))
+
+
+def _flow_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth flow_statistics line-protocol input, materialized once per
+    session (the generator localCheckpoints, see sources/flow)."""
+    from streamevmon_spark.sources import flow as FL
+
+    key = (spark.sparkContext.applicationId, sf_dir, "flow_lines")
+    if key not in _AMP2_LINES_CACHE:
+        _AMP2_LINES_CACHE[key] = FL.synth_flow_lines(
+            _events(spark, sf_dir)
+        )
+    return _AMP2_LINES_CACHE[key]
+
+
+def _q_flow_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """libtrace-bigdata Flow.create over flow_statistics line protocol:
+    the full 29-field typed relation incl. Option geolocation blocks
+    and the reference's parse quirks."""
+    from streamevmon_spark.sources import flow as FL
+
+    return FL.flow_typed(_flow_lines(spark, sf_dir))
+
+
+def _q_flow_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(capture_host, category, protocol) flow statistics over the
+    typed Flow relation."""
+    from streamevmon_spark.sources import flow as FL
+
+    return FL.flow_rollup(FL.flow_typed(_flow_lines(spark, sf_dir)))
+
+
 def _q_amp2_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full amp2 createFromLineProtocol: 10 families / 13 concrete
     types from line protocol, with per-type required-tag rejection,
@@ -1246,6 +1308,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-rebuild oracle
         "cascade_incremental_1h": _q_cascade_incremental("1h"),
         "cascade_incremental_1d": _q_cascade_incremental("1d"),
+        # new r4: perfSONAR esmond typed ingest — 6 concrete measurement
+        # classes dispatched from event-type strings, REST-base-URI
+        # stream ids, parse(print(x)) == x vs the closed-form oracle
+        "esmond_typed": _q_esmond_typed,
+        "esmond_histogram": _q_esmond_histogram,
+        # new r4: libtrace-bigdata Flow family (flow_statistics line
+        # protocol -> 29-field typed relation -> per-capture rollup)
+        "flow_typed": _q_flow_typed,
+        "flow_rollup": _q_flow_rollup,
         # --- r03-green, kept in-window (most recently changed code) --
         # topology-graph family (reference events/grouping/graph/*):
         # traceroute paths -> vertex/edge relations -> prune + largest
@@ -1478,6 +1549,10 @@ def oracle_sql() -> dict[str, str]:
         # the full-rebuild rollup oracle IS its oracle
         "cascade_incremental_1h": oracles.rollup_oracle("1h"),
         "cascade_incremental_1d": oracles.rollup_oracle("1d"),
+        "esmond_typed": esmond_oracles.esmond_typed_oracle(),
+        "esmond_histogram": esmond_oracles.esmond_histogram_oracle(),
+        "flow_typed": flow_oracles.flow_typed_oracle(),
+        "flow_rollup": flow_oracles.flow_rollup_oracle(),
         "inter_turn_latency": oracles.inter_turn_latency_oracle(),
         "source_typed_lossy": oracles.typed_lossy_stream_ids_oracle("click"),
         "history_scan": oracles.history_scan_oracle(

@@ -391,15 +391,32 @@ def ivf_ann_topk_oracle(
     n_probe: int = 4,
     dim: int = 64,
     seed: int = 2,
+    train_iters: int = 2,
+    sf_dir: str = "/root/testdata/sf0.01",
 ) -> str:
     """Full DuckDB mirror of operators/similarity.ivf_ann_topk: the
-    unit-norm centroids are pure-Python constants embedded as identical
-    double literals; cell scores sort DESC over (d, -c) structs in both
-    engines (field-by-field comparison, ascending-cell tie-break), the
-    corpus keeps its single best cell, queries probe the top n_probe."""
-    from streamevmon_spark.operators.similarity import _ivf_centroids
+    centroids are embedded as identical double literals; cell scores
+    sort DESC over (d, -c) structs in both engines (field-by-field
+    comparison, ascending-cell tie-break), the corpus keeps its single
+    best cell, queries probe the top n_probe.
 
-    cents = _ivf_centroids(dim, n_cells, seed)
+    With ``train_iters`` > 0 the literals come from the NumPy k-means
+    twin (``train_ivf_centroids_numpy``) over the gate's sf0.01
+    embeddings parquet — bit-identical to the engine's distributed
+    trainer because every cross-row reduction in both is integer-exact
+    (see train_ivf_centroids)."""
+    from streamevmon_spark.operators.similarity import (
+        _ivf_centroids,
+        train_ivf_centroids_numpy,
+    )
+
+    if train_iters > 0:
+        cents = train_ivf_centroids_numpy(
+            f"{sf_dir}/embeddings.parquet", n_cells, train_iters, dim,
+            seed,
+        )
+    else:
+        cents = _ivf_centroids(dim, n_cells, seed)
     structs = ", ".join(
         "{d: "
         + _DOT.format(

@@ -222,18 +222,46 @@ def minhash_lsh_pairs(
     # enumerate, so this is two shuffle joins on doc_id instead of an
     # O(sum bucket^2) pair expansion + groupBy.
     #
-    # Join-strategy notes, measured at 2M docs on this box:
+    # Join-strategy notes, measured at 2M docs on this box (r3 + r4):
+    # - the shingle-array relation is materialized ONCE, hash-
+    #   partitioned AND sorted on doc_id (r4): the localCheckpoint
+    #   preserves both through the rename projections (alias-aware
+    #   output partitioning/ordering), so NEITHER corpus-sized array
+    #   side is ever exchanged or sorted at join time — the r3 profile
+    #   showed one big SortMergeJoin sort of this relation as the flat
+    #   ~110 s memory-bandwidth wall at 2M docs. At 100 TB the same
+    #   layout comes from a bucketBy(doc_id).sortBy(doc_id) table
+    #   write, amortized across every verify pass.
     # - the FIRST join hashes the ids-only candidate side
-    #   (shuffle_hash) — a bounded per-partition build that removes one
-    #   of the two full sorts of the multi-GB array relation;
-    # - the SECOND join stays SortMergeJoin deliberately: every
-    #   alternative build side there carries shingle ARRAYS, and a
-    #   per-partition hash build of an array relation OOMs small heaps
-    #   (an 8 GB child died; SMJ spills instead). An exploded
-    #   (doc, shingle)-row verify was also measured: memory-safe but
-    #   ~2-4x slower — its two tokens-sized shuffles dominate
-    #   regardless of candidate count.
-    sets_ = docs.select("doc_id", _shingles().alias("sh_arr"))
+    #   (shuffle_hash) — a bounded per-partition build; the streamed
+    #   pre-partitioned array side needs no exchange at all.
+    # - the SECOND join stays SortMergeJoin deliberately: its sorted
+    #   side (b_sets) comes pre-sorted from the checkpoint, so the only
+    #   sort left is the CANDIDATES-sized intermediate (doc ids +
+    #   sh_a) — corpus-size-independent. Hashing it instead would put
+    #   shingle arrays on a build side, which OOMs small heaps
+    #   (an 8 GB child died in the r3 A/B; SMJ spills instead). An
+    #   exploded (doc, shingle)-row verify was also measured:
+    #   memory-safe but ~2-4x slower — its two tokens-sized shuffles
+    #   dominate regardless of candidate count.
+    # AQE must be off while the checkpoint materializes: under AQE the
+    # captured LogicalRDD reports UnknownPartitioning (the adaptive
+    # plan's partitioning isn't final at capture time), which would
+    # silently re-introduce both corpus-sized exchanges+sorts. Verified
+    # by plan inspection; the consuming joins still run under AQE.
+    sess = docs.sparkSession
+    n_part = sess.sparkContext.defaultParallelism
+    aqe_was = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sets_ = (
+            docs.select("doc_id", _shingles().alias("sh_arr"))
+            .repartition(n_part, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", aqe_was)
     a_sets = sets_.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a")
     )

@@ -113,19 +113,106 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
-def _pil_decode(blob: bytes) -> tuple:
-    """Default real decoder: feature-detected Pillow. Returns
-    (width, height, mode, pixel_mean). Raises NotImplementedError with
-    a clear message when Pillow is absent (as in this sandbox)."""
-    try:
-        from PIL import Image
-    except ImportError as exc:  # pragma: no cover - no Pillow here
+def encode_bmp(rgb) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) — the
+    fixture generator for the pure-NumPy real-decode CI path."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up, BGR byte order
+        body += arr[y, :, ::-1].tobytes() + b"\x00" * pad
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header) + info + bytes(body)
+
+
+def numpy_decode(blob: bytes) -> tuple:
+    """Pure-NumPy real decoder for uncompressed 24-bit BMP and binary
+    PPM (P6) payloads: (width, height, mode, pixel_mean) with
+    pixel_mean over Rec.601 integer luma, the same L = (299R + 587G +
+    114B) / 1000 formula Pillow's convert("L") uses — so the fallback
+    is drop-in-comparable with the Pillow path on the same image.
+
+    This keeps ``decode_image``'s non-fake path runnable in
+    environments without Pillow (like this sandbox's CI); anything
+    that isn't BMP/P6 still raises NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] == b"BM":
+        off = struct.unpack_from("<I", blob, 10)[0]
+        size, w, h, _planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", blob, 14
+        )
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"numpy BMP decoder handles 24-bit uncompressed only "
+                f"(got bpp={bpp}, compression={comp})"
+            )
+        flipped = h > 0  # positive height = bottom-up rows
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            blob, dtype=np.uint8, count=h * stride, offset=off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        rgb = rows[::-1, :, ::-1] if flipped else rows[:, :, ::-1]
+        mode = "RGB"
+    elif blob[:2] == b"P6":
+        # header: magic, width, height, maxval, single whitespace, raster
+        parts, i = [], 2
+        while len(parts) < 3:
+            while blob[i : i + 1].isspace():
+                i += 1
+            if blob[i : i + 1] == b"#":  # comment line
+                i = blob.index(b"\n", i) + 1
+                continue
+            j = i
+            while not blob[j : j + 1].isspace():
+                j += 1
+            parts.append(int(blob[i:j]))
+            i = j
+        i += 1
+        w, h, maxval = parts
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        rgb = np.frombuffer(
+            blob, dtype=np.uint8, count=w * h * 3, offset=i
+        ).reshape(h, w, 3)
+        mode = "RGB"
+    else:
         raise NotImplementedError(
-            "real image decode requires Pillow, which is not installed; "
-            "pass decode_image(..., decoder=...) or use "
+            "real image decode without Pillow handles BMP/P6 payloads "
+            "only; pass decode_image(..., decoder=...) or use "
             "decode_features(..., fake=True) for the deterministic "
             "byte-level stand-in"
-        ) from exc
+        )
+    luma = (
+        rgb[..., 0].astype(np.int64) * 299
+        + rgb[..., 1].astype(np.int64) * 587
+        + rgb[..., 2].astype(np.int64) * 114
+    ) // 1000
+    return int(w), int(h), mode, float(luma.mean())
+
+
+def _pil_decode(blob: bytes) -> tuple:
+    """Default real decoder: feature-detected Pillow, falling back to
+    the pure-NumPy BMP/P6 decoder when Pillow is absent (as in this
+    sandbox). Returns (width, height, mode, pixel_mean)."""
+    try:
+        from PIL import Image
+    except ImportError:  # no Pillow here -> NumPy fallback formats
+        return numpy_decode(blob)
     import io
 
     import numpy as np

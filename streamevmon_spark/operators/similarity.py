@@ -294,6 +294,159 @@ def _ivf_centroids(
     return out
 
 
+_IVF_Q = 1 << 20  # quantization grid for integer-exact k-means
+
+
+def _quantize_expr(col: str = "embedding") -> F.Column:
+    """Per-element quantization to the 2^20 integer grid. x * 2^20 is
+    a power-of-two scale (exact for float32 inputs cast to double) and
+    floor(v + 0.5) is the tie-stable rounding both engines and NumPy
+    evaluate identically — never round() (HALF_UP vs banker's ties)."""
+    return F.expr(
+        f"transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* {float(_IVF_Q)!r} + 0.5) AS BIGINT))"
+    )
+
+
+def _normalize_requantize(sums: list[int], prev: list[int]) -> list[int]:
+    """Shared driver-side Lloyd update step: new centroid = the cell's
+    integer sum vector renormalized to unit L2 and requantized to the
+    2^20 grid. The norm is computed over arbitrary-precision Python
+    ints (sum of squares exceeds 2^53, so a float accumulation would be
+    order-dependent); the one float division + floor is elementwise and
+    IEEE-deterministic. Empty cells keep their previous centroid."""
+    import math
+
+    norm2 = sum(int(s) * int(s) for s in sums)
+    if norm2 == 0:
+        return list(prev)
+    nrm = math.sqrt(norm2)
+    return [
+        int(math.floor((int(s) / nrm) * float(_IVF_Q) + 0.5))
+        for s in sums
+    ]
+
+
+def _init_quantized(dim: int, n_cells: int, seed: int) -> list[list[int]]:
+    import math
+
+    return [
+        [int(math.floor(u * float(_IVF_Q) + 0.5)) for u in c]
+        for c in _ivf_centroids(dim, n_cells, seed)
+    ]
+
+
+def _int_cell_expr(cents_q: list[list[int]]) -> F.Column:
+    """argmax-dot cell assignment over integer-quantized vectors: every
+    dot term is <= 2^40 and the 64-term sum <= 2^46, so the fold is
+    exact in int64 AND in any engine's double path — assignment is
+    engine-order-free by construction. Ties break to the lowest cell
+    (struct (d, -c) sorted DESC, field-by-field)."""
+    structs = []
+    for c, p in enumerate(cents_q):
+        arr = "array(" + ",".join(f"{x}L" for x in p) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with(__xq, {arr}, (x, y) -> x * y), 0L,"
+            " (acc, v) -> acc + v)"
+        )
+        structs.append(F.struct(dot.alias("d"), F.lit(-c).alias("nc")))
+    return (-F.sort_array(F.array(*structs), False)[0]["nc"]).alias(
+        "cell"
+    )
+
+
+def train_ivf_centroids(
+    vecs: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    seed: int = 2,
+) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd) for the IVF coarse
+    quantizer, engineered so every cross-row reduction happens in the
+    INTEGER domain: embeddings are quantized to a 2^20 grid, cell
+    assignment is an exact integer argmax-dot, and the per-cell update
+    is 64 integer column sums (map-side partial aggregation — the
+    shuffle carries n_cells x (dim+1) longs per partition, nothing
+    else). Only the tiny (n_cells x dim) model state ever reaches the
+    driver, where the renormalize/requantize step runs in shared plain
+    Python — so the trained centroids are bit-identical to the NumPy
+    twin (``train_ivf_centroids_numpy``) the DuckDB oracle embeds.
+
+    At 100 TB the same job trains on a deterministic hash-sample of the
+    corpus (operators/sampling.hash_sample) — the aggregation shape is
+    unchanged; reference parity: the parameter-tuning loop of
+    parameterTuner (SMBO) is the reference's analogous train-then-run
+    lifecycle."""
+    xq = vecs.select(_quantize_expr().alias("__xq")).localCheckpoint()
+    cents = _init_quantized(dim, n_cells, seed)
+    sum_cols = [
+        F.sum(F.element_at(F.col("__xq"), i + 1)).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    for _ in range(n_iter):
+        rows = (
+            xq.select(_int_cell_expr(cents), "__xq")
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"), *sum_cols)
+            .collect()
+        )
+        by_cell = {r["cell"]: r for r in rows}
+        cents = [
+            _normalize_requantize(
+                [by_cell[c][f"s{i}"] for i in range(dim)], cents[c]
+            )
+            if c in by_cell
+            else cents[c]
+            for c in range(n_cells)
+        ]
+    return [[x / float(_IVF_Q) for x in c] for c in cents]
+
+
+def train_ivf_centroids_numpy(
+    embeddings,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    seed: int = 2,
+) -> list[list[float]]:
+    """The oracle-side twin of ``train_ivf_centroids``: the same
+    integer-exact Lloyd iterations over a local array (or a parquet
+    path), sharing ``_normalize_requantize`` and the quantization
+    formula, so both trainers produce bit-identical centroids for the
+    same input regardless of engine or iteration order."""
+    import numpy as np
+
+    if isinstance(embeddings, str):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(embeddings, columns=["embedding"])
+        X = np.stack(tbl.column("embedding").to_numpy(zero_copy_only=False))
+    else:
+        X = np.asarray(embeddings)
+    XQ = np.floor(X.astype(np.float64) * float(_IVF_Q) + 0.5).astype(
+        np.int64
+    )
+    cents = np.asarray(_init_quantized(dim, n_cells, seed), np.int64)
+    for _ in range(n_iter):
+        assign = np.argmax(XQ @ cents.T, axis=1)  # first max = lowest c
+        sums = np.zeros((n_cells, dim), np.int64)
+        np.add.at(sums, assign, XQ)
+        counts = np.bincount(assign, minlength=n_cells)
+        cents = np.asarray(
+            [
+                _normalize_requantize(
+                    sums[c].tolist(), cents[c].tolist()
+                )
+                if counts[c]
+                else cents[c].tolist()
+                for c in range(n_cells)
+            ],
+            np.int64,
+        )
+    return [[x / float(_IVF_Q) for x in c] for c in cents.tolist()]
+
+
 def _cell_scores(cents: list[list[float]]) -> F.Column:
     """array<struct<d,nc>> of (dot(embedding, centroid_c), -c) — sorted
     descending this orders cells by similarity with ascending-cell
@@ -318,10 +471,17 @@ def ivf_ann_topk(
     n_probe: int = 4,
     dim: int = 64,
     seed: int = 2,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: every corpus vector is assigned to its
     single most-similar coarse cell; a query probes its ``n_probe``
     nearest cells and exact-cosine re-ranks only those cells' vectors.
+
+    ``train_iters`` > 0 (the default) first TRAINS the coarse quantizer
+    with that many distributed integer-exact k-means iterations
+    (``train_ivf_centroids``); 0 falls back to the seeded untrained
+    directions. Trained cells track the data distribution, so equal
+    n_probe recovers more true neighbours per candidate scanned.
 
     The 100 TB shape: the corpus is partitioned once by cell id (an
     equi-join key, never a cross join), each vector appears in exactly
@@ -331,7 +491,11 @@ def ivf_ann_topk(
     tolerance-tested against ``cosine_topk``; every emitted cosine is
     bit-exact vs the DuckDB mirror (centroid literals shared)."""
     v = with_norm(vecs)
-    cells = _cell_scores(_ivf_centroids(dim, n_cells, seed))
+    if train_iters > 0:
+        cents = train_ivf_centroids(vecs, n_cells, train_iters, dim, seed)
+    else:
+        cents = _ivf_centroids(dim, n_cells, seed)
+    cells = _cell_scores(cents)
     sorted_cells = F.sort_array(cells, False)
     corpus = v.select(
         "vec_id", "embedding", "__norm",

@@ -111,3 +111,53 @@ def test_resize_updates_meta_only(spark, sf_dir):
     row = resized.first()
     assert row["meta"]["width"] == 64 and row["meta"]["height"] == 32
     assert resized.count() == media.count()
+
+
+def test_real_decode_bmp_through_mapinpandas(spark):
+    # a REAL generated 24-bit BMP decoded through decode_image's
+    # default (non-injected) decoder path: Pillow is absent here, so
+    # this exercises the pure-NumPy BMP fallback end-to-end, including
+    # the 4-byte row padding (w=5 -> stride 16) and bottom-up rows
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    imgs = {1: rng.integers(0, 256, (4, 5, 3), dtype=np.uint8),
+            2: rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)}
+    rows = [
+        (int(mid), "image", bytearray(MM.encode_bmp(arr)))
+        for mid, arr in imgs.items()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    got = {r.media_id: r for r in MM.decode_image(media).collect()}
+    assert len(got) == 2
+    for mid, arr in imgs.items():
+        luma = (
+            arr[..., 0].astype(np.int64) * 299
+            + arr[..., 1].astype(np.int64) * 587
+            + arr[..., 2].astype(np.int64) * 114
+        ) // 1000
+        r = got[mid]
+        assert (r.width, r.height, r.mode) == (
+            arr.shape[1], arr.shape[0], "RGB"
+        )
+        assert abs(r.pixel_mean - float(luma.mean())) < 1e-12
+
+
+def test_real_decode_ppm_roundtrip():
+    # P6 with a comment line and a non-trivial maxval token split
+    import numpy as np
+
+    from streamevmon_spark.operators.multimodal import numpy_decode
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = b"P6\n# synthetic\n3 2\n255\n" + arr.tobytes()
+    w, h, mode, mean = numpy_decode(blob)
+    luma = (
+        arr[..., 0].astype(np.int64) * 299
+        + arr[..., 1].astype(np.int64) * 587
+        + arr[..., 2].astype(np.int64) * 114
+    ) // 1000
+    assert (w, h, mode) == (3, 2, "RGB")
+    assert abs(mean - float(luma.mean())) < 1e-12

@@ -200,6 +200,38 @@ def test_ann_ivf_recall_and_plan(spark, embs):
     assert recall >= 0.3, f"IVF recall vs brute force too low: {recall}"
     m = exact.merge(approx, on=["query_id", "vec_id"], suffixes=("_e", "_a"))
     assert (m["cosine_e"] == m["cosine_a"]).all()
+    # trained (default) cells must not lose recall vs the untrained
+    # seeded directions at equal n_probe
+    un = ivf_ann_topk(embs, n_queries=10, k=5, train_iters=0).toPandas()
+    u = {(r.query_id, r.vec_id) for r in un.itertuples()}
+    assert len(e & a) >= len(e & u), (
+        f"training reduced recall: {len(e & a)} < {len(e & u)}"
+    )
+
+
+def test_ivf_trainers_bit_identical(spark, embs):
+    """The distributed trainer and the NumPy oracle twin must produce
+    bit-identical centroids: every cross-row reduction in both is
+    integer-exact (2^20 grid, int argmax-dot, int column sums), and the
+    float renormalize step is shared driver-side Python."""
+    import numpy as np
+
+    from streamevmon_spark.operators.similarity import (
+        train_ivf_centroids,
+        train_ivf_centroids_numpy,
+    )
+
+    c_spark = train_ivf_centroids(embs, n_cells=8, n_iter=3)
+    X = np.stack(embs.toPandas()["embedding"].to_numpy())
+    c_np = train_ivf_centroids_numpy(X, n_cells=8, n_iter=3)
+    assert c_spark == c_np
+    # training moved the centroids off the seeded init
+    from streamevmon_spark.operators.similarity import _ivf_centroids
+
+    assert c_spark != [
+        [round(u * (1 << 20)) / (1 << 20) for u in c]
+        for c in _ivf_centroids(64, 8)
+    ]
 
 
 def test_generated_documents_planted_families(spark):
