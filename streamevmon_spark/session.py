@@ -33,6 +33,17 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already running from a --py-files zip (zipimport): pkg_dir is
+        # a path *inside* the archive, so os.walk would ship an empty
+        # zip. Ship the archive itself instead.
+        archive = os.path.dirname(pkg_dir)
+        while archive and not os.path.isfile(archive):
+            archive = os.path.dirname(archive)
+        if archive:
+            sc.addPyFile(archive)
+            _SHIPPED.add(id(sc))
+        return
     zip_path = os.path.join(
         tempfile.gettempdir(), f"streamevmon_spark_pyfiles_{os.getpid()}.zip"
     )
