@@ -222,6 +222,57 @@ def _q_cascade_incremental(tier: str):
     return q
 
 
+def _q_sketch_incremental(tier: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incrementally maintained t-digest sketch tier (north rule:
+        'latency percentiles via t-digest sketches ... maintained
+        incrementally per tier'): same two-phase snapshot ingest as the
+        cascade_incremental twins, with the sketch day-partitions
+        refreshed by canonical blob merge of per-bucket 1m sketches
+        derived from stored state — raw turns never rescanned. The
+        output is the sketch's EXACT face (a t-digest's total weight
+        and min/max are exact): hash-checked against the raw-side SQL
+        aggregate; quantile accuracy + bit-equality to the batch sketch
+        twin are pytest-asserted (tests/test_cascade_store.py)."""
+        from pyspark.sql import functions as F
+
+        from streamevmon_spark.operators.sketch_rollup import (
+            sketch_exact_stats,
+        )
+        from streamevmon_spark.plans import cascade_store as C
+        from streamevmon_spark.plans.manifest import load_manifest
+
+        out = _cascade_store_dir(sf_dir)
+        df = load_transcripts(spark, sf_dir)
+        m = load_manifest(out)
+        if m is None or not all(
+            p.status == "done" for p in m.partitions
+        ):
+            C.run_cascade_store(
+                spark, df, out, input_path=sf_dir, stop_after=6,
+                sketches=True,
+            )
+        C.run_cascade_store(
+            spark, df, out, input_path=sf_dir, sketches=True
+        )
+        return sketch_exact_stats(
+            C.read_sketch_cascade(spark, out, tier)
+        ).select(
+            "conv_id",
+            "tool",
+            "role",
+            F.expr(
+                f"timestampadd(MICROSECOND, window_start_us,"
+                f" {R.EPOCH_NTZ})"
+            ).alias("window_start"),
+            "lat_count",
+            "lat_min_us",
+            "lat_max_us",
+        )
+
+    return q
+
+
 def _q_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB downsample to 64 points per series (operators/downsample) —
     the read-side shape-preserving selection for dashboard rendering."""
@@ -1306,6 +1357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-phase ingest into mergeable 1m state, day-partition
         # overwrite for new snapshot ranges only, hash-equal to the
         # full-rebuild oracle
+        # new r4: incrementally maintained sketch tiers (run first so
+        # the two-phase store build exercises the sketch watermark in
+        # both phases; the cascade twins below then reuse the store)
+        "sketch_incremental_1h": _q_sketch_incremental("1h"),
+        "sketch_incremental_1d": _q_sketch_incremental("1d"),
         "cascade_incremental_1h": _q_cascade_incremental("1h"),
         "cascade_incremental_1d": _q_cascade_incremental("1d"),
         # new r4: perfSONAR esmond typed ingest — 6 concrete measurement
@@ -1549,6 +1605,10 @@ def oracle_sql() -> dict[str, str]:
         # the full-rebuild rollup oracle IS its oracle
         "cascade_incremental_1h": oracles.rollup_oracle("1h"),
         "cascade_incremental_1d": oracles.rollup_oracle("1d"),
+        # the sketch tier's exact face (total weight + min/max) vs the
+        # raw-side aggregate; centroid accuracy is pytest-tolerance
+        "sketch_incremental_1h": oracles.sketch_exact_stats_oracle("1h"),
+        "sketch_incremental_1d": oracles.sketch_exact_stats_oracle("1d"),
         "esmond_typed": esmond_oracles.esmond_typed_oracle(),
         "esmond_histogram": esmond_oracles.esmond_histogram_oracle(),
         "flow_typed": flow_oracles.flow_typed_oracle(),

@@ -125,6 +125,48 @@ def cascade_sketches(finer: DataFrame, to_tier: str) -> DataFrame:
     )
 
 
+def sketch_exact_stats(sketches: DataFrame) -> DataFrame:
+    """Exactly-checkable projection of sketch blobs.
+
+    A t-digest is approximate in its centroids but EXACT in its total
+    weight and min/max, so (lat_count, lat_min_us, lat_max_us) decoded
+    from the blob must hash-equal the raw-side SQL aggregate — the
+    driver-verifiable face of the sketch path (quantile accuracy is
+    tolerance-tested in pytest). min/max round-trip exactly: lat_us is
+    an integer < 2^52, so ``round(vmin * 1e6)`` inverts the ``/ 1e6``
+    build-time scaling bit-exactly. min/max are emitted as doubles
+    (exact for these magnitudes) so the NULL-when-empty case has one
+    cross-engine dtype."""
+    schema = (
+        "conv_id string, tool string, role string, window_start_us long, "
+        "lat_count long, lat_min_us double, lat_max_us double"
+    )
+
+    def decode(pdf_iter):
+        from streamevmon_spark.functions.tdigest import TDigest
+
+        for pdf in pdf_iter:
+            out = pdf[["conv_id", "tool", "role", "window_start_us"]].copy()
+            counts: list[int] = []
+            mins: list[float] = []
+            maxs: list[float] = []
+            for b in pdf["latency_tdigest"]:
+                td = TDigest.from_bytes(bytes(b))
+                counts.append(int(td.count))
+                if td.count == 0:
+                    mins.append(np.nan)
+                    maxs.append(np.nan)
+                else:
+                    mins.append(float(round(td.vmin * 1e6)))
+                    maxs.append(float(round(td.vmax * 1e6)))
+            out["lat_count"] = np.asarray(counts, dtype=np.int64)
+            out["lat_min_us"] = np.asarray(mins, dtype=np.float64)
+            out["lat_max_us"] = np.asarray(maxs, dtype=np.float64)
+            yield out
+
+    return sketches.mapInPandas(decode, schema=schema)
+
+
 def sketch_quantiles(
     sketches: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.95, 0.99)
 ) -> DataFrame:

@@ -105,6 +105,26 @@ FROM grouped
     return with_transcripts(body)
 
 
+def sketch_exact_stats_oracle(tier: str) -> str:
+    """Raw-side twin of sketch_rollup.sketch_exact_stats over the
+    incrementally maintained sketch tier: a t-digest's total weight and
+    min/max are exact, so this projection is hash-checkable even though
+    the centroids are approximate. min/max cast to DOUBLE (exact at
+    these magnitudes) for one cross-engine NULL dtype."""
+    win_us = TIERS[tier] * 1_000_000
+    body = f"""
+, {_LAT_CTE}
+SELECT conv_id, tool, role,
+    make_timestamp((epoch_us(ts) // {win_us}) * {win_us}) AS window_start,
+    count(lat_us) AS lat_count,
+    CAST(min(lat_us) AS DOUBLE) AS lat_min_us,
+    CAST(max(lat_us) AS DOUBLE) AS lat_max_us
+FROM lat
+GROUP BY conv_id, tool, role, (epoch_us(ts) // {win_us}) * {win_us}
+"""
+    return with_transcripts(body)
+
+
 def gapfill_oracle(
     tier: str, method: str, purge_gap_s: int = 600
 ) -> str:

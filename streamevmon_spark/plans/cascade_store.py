@@ -133,6 +133,7 @@ def run_cascade_store(
     stop_after: int | None = None,
     run_id: str | None = None,
     refresh: bool = True,
+    sketches: bool = False,
 ) -> Manifest:
     """Ingest all pending buckets into 1m state, then incrementally
     refresh the coarse tiers for the new snapshot ranges. Resumable and
@@ -193,6 +194,10 @@ def run_cascade_store(
 
     if refresh:
         refresh_cascade(spark, out_dir, coarse_tiers, manifest=manifest)
+    if sketches:
+        refresh_sketch_cascade(
+            spark, out_dir, coarse_tiers, manifest=manifest
+        )
     return manifest
 
 
@@ -284,6 +289,169 @@ def refresh_cascade(
     if changed:
         save_manifest(out_dir, m)
     return refreshed
+
+
+SKETCH_STATE_DIR = "sketch_1m"
+
+
+def _sketch_state_from_exact(state: DataFrame) -> DataFrame:
+    """1m t-digest blobs derived from the stored exact 1m state.
+
+    ``__lat_arr`` is the sorted non-null latency multiset of the window
+    and ``TDigest.build`` NaN-filters and sorts, so these blobs are
+    bit-identical to ``sketch_rollup.sketch_tier(raw, "1m")`` over the
+    same input (asserted in tests/test_cascade_store.py) — the sketch
+    tier is maintained from compact 1m state, never from a raw rescan."""
+    from streamevmon_spark.operators.sketch_rollup import _SKETCH_SCHEMA
+
+    def to_blobs(it):
+        import numpy as np
+        import pandas as pd
+
+        from streamevmon_spark.functions.tdigest import TDigest
+
+        for pdf in it:
+            blobs = [
+                TDigest.build(
+                    np.asarray(a, dtype=np.float64) / 1e6
+                ).to_bytes()
+                for a in pdf["__lat_arr"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "tool": pdf["tool"],
+                    "role": pdf["role"],
+                    "window_start_us": pdf["__w_us"].astype("int64"),
+                    "latency_tdigest": blobs,
+                }
+            )
+
+    return state.select(*SERIES_KEY, "__w_us", "__lat_arr").mapInPandas(
+        to_blobs, _SKETCH_SCHEMA
+    )
+
+
+def refresh_sketch_cascade(
+    spark: SparkSession,
+    out_dir: str,
+    coarse_tiers: tuple[str, ...] = ("1h", "1d"),
+    manifest: Manifest | None = None,
+) -> dict[str, list[int]]:
+    """Incrementally maintain the t-digest sketch tiers (north rule:
+    'inter-turn latency percentiles via t-digest sketches ...
+    maintained incrementally per tier').
+
+    Same watermark/day-partition mechanics as refresh_cascade, under
+    independent ``sketch_{tier}`` manifest keys: only coarse-tier
+    day-partitions overlapped by snapshot ranges newer than the tier's
+    watermark are recomputed, by canonical (sorted-blob) merge of the
+    per-bucket 1m sketches — raw turns are never rescanned. Missing
+    per-bucket ``sketch_1m`` dirs are lazily derived from the stored
+    exact 1m state, so a store ingested before sketches were enabled
+    upgrades in place."""
+    m = manifest or load_manifest(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    from streamevmon_spark.operators.sketch_rollup import cascade_sketches
+
+    done = [p for p in m.partitions if p.status == "done"]
+    refreshed: dict[str, list[int]] = {}
+    changed = False
+    for tier in coarse_tiers:
+        key = f"sketch_{tier}"
+        win_us = TIERS[tier] * 1_000_000
+        entry = m.cascade.setdefault(
+            key, {"last_seq": 0, "days": [], "log": []}
+        )
+        new_parts = [p for p in done if p.seq > entry["last_seq"]]
+        refreshed[tier] = []
+        if not new_parts:
+            continue
+        days = sorted(
+            {
+                d
+                for p in new_parts
+                for d in range(
+                    p.start_us // DAY_US,
+                    (p.end_us + DAY_US - 1) // DAY_US,
+                )
+            }
+        )
+        lo_us, hi_us = days[0] * DAY_US, (days[-1] + 1) * DAY_US
+        contributing = [
+            p
+            for p in done
+            if p.start_us < hi_us and p.end_us > lo_us
+        ]
+        paths = []
+        for p in contributing:
+            sp = os.path.join(out_dir, SKETCH_STATE_DIR, p.part_id)
+            if not os.path.isdir(sp):
+                state = spark.read.parquet(
+                    os.path.join(out_dir, STATE_DIR, p.part_id)
+                )
+                _sketch_state_from_exact(state).write.mode(
+                    "overwrite"
+                ).parquet(sp)
+            paths.append(sp)
+        day_set = set(days)
+        fine = (
+            spark.read.parquet(*paths)
+            .withColumn(
+                "__cday", F.expr(f"window_start_us div {DAY_US}")
+            )
+            .where(F.col("__cday").isin(*day_set))
+            .drop("__cday")
+        )
+        merged = cascade_sketches(fine, tier).withColumn(
+            "__cday", F.expr(f"window_start_us div {DAY_US}")
+        )
+        dest = os.path.join(out_dir, key)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__cday")
+            .parquet(dest)
+        )
+        entry["last_seq"] = max(p.seq for p in new_parts)
+        on_disk = {
+            int(n.split("=")[1])
+            for n in os.listdir(dest)
+            if n.startswith("__cday=")
+        }
+        entry["days"] = sorted((set(entry["days"]) | day_set) & on_disk)
+        entry["log"].append(
+            {"seqs": sorted(p.seq for p in new_parts), "days": days}
+        )
+        refreshed[tier] = days
+        changed = True
+    if changed:
+        save_manifest(out_dir, m)
+    return refreshed
+
+
+def read_sketch_cascade(
+    spark: SparkSession, out_dir: str, tier: str
+) -> DataFrame:
+    """The continuously-maintained sketch tier: manifest-tracked
+    day-partitions of (series, window_start_us, latency_tdigest)."""
+    m = load_manifest(out_dir)
+    entry = (m.cascade if m else {}).get(f"sketch_{tier}")
+    if not entry or not entry["days"]:
+        from streamevmon_spark.operators.sketch_rollup import (
+            _SKETCH_SCHEMA,
+        )
+
+        return spark.createDataFrame([], _SKETCH_SCHEMA)
+    root = os.path.join(out_dir, f"sketch_{tier}")
+    return (
+        spark.read.option("basePath", root)
+        .parquet(
+            *[os.path.join(root, f"__cday={d}") for d in entry["days"]]
+        )
+        .drop("__cday")
+    )
 
 
 def read_cascade(

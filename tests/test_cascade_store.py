@@ -37,12 +37,13 @@ def stores(spark, sf_dir, tmp_path_factory):
     # phase 1: first 4 buckets, refresh; phase 2: the rest, refresh
     m1 = run_cascade_store(
         spark, df, inc, input_path=sf_dir, bucket_s=BUCKET_S,
-        stop_after=4,
+        stop_after=4, sketches=True,
     )
     assert sum(p.status == "done" for p in m1.partitions) == 4
     phase1 = {t: _sorted(read_cascade(spark, inc, t)) for t in ("1h", "1d")}
     m2 = run_cascade_store(
-        spark, df, inc, input_path=sf_dir, bucket_s=BUCKET_S
+        spark, df, inc, input_path=sf_dir, bucket_s=BUCKET_S,
+        sketches=True,
     )
     assert all(p.status == "done" for p in m2.partitions)
     return df, inc, phase1
@@ -118,6 +119,52 @@ def test_refresh_watermark_noop(spark, stores):
     m_after = load_manifest(inc)
     for t in ("1h", "1d"):
         assert len(m_after.cascade[t]["log"]) == logs[t]
+
+
+def test_incremental_sketches_equal_batch_twin(spark, stores):
+    # the two-phase, watermark-driven sketch tier must be BIT-identical
+    # (same blobs) to the one-shot batch path sketch_tier -> cascade:
+    # both build 1m digests from the same per-window multiset in
+    # canonical sorted order and merge blobs in canonical sorted order,
+    # so partitioning/phasing must not leak into the bytes
+    from streamevmon_spark.operators.sketch_rollup import (
+        cascade_sketches,
+        sketch_tier,
+    )
+    from streamevmon_spark.plans.cascade_store import read_sketch_cascade
+
+    df, inc, _ = stores
+    fine = sketch_tier(df, "1m").localCheckpoint()
+    for tier in ("1h", "1d"):
+        exp = cascade_sketches(fine, tier).toPandas()
+        got = read_sketch_cascade(spark, inc, tier).toPandas()
+        key = ["conv_id", "tool", "role", "window_start_us"]
+        exp = exp.sort_values(key, ignore_index=True)
+        got = got.sort_values(key, ignore_index=True)
+        pd.testing.assert_frame_equal(
+            got[key], exp[key], check_dtype=False
+        )
+        assert [bytes(b) for b in got["latency_tdigest"]] == [
+            bytes(b) for b in exp["latency_tdigest"]
+        ], f"sketch blobs diverge at tier {tier}"
+
+
+def test_sketch_refresh_watermark_noop(spark, stores):
+    from streamevmon_spark.plans.cascade_store import (
+        refresh_sketch_cascade,
+    )
+
+    _, inc, _ = stores
+    m_before = load_manifest(inc)
+    logs = {
+        t: len(m_before.cascade[f"sketch_{t}"]["log"])
+        for t in ("1h", "1d")
+    }
+    res = refresh_sketch_cascade(spark, inc)
+    assert res == {"1h": [], "1d": []}
+    m_after = load_manifest(inc)
+    for t in ("1h", "1d"):
+        assert len(m_after.cascade[f"sketch_{t}"]["log"]) == logs[t]
 
 
 def test_manifest_lineage_recorded(stores):
