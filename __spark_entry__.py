@@ -1112,13 +1112,25 @@ def _flow_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _AMP2_LINES_CACHE[key]
 
 
+def _flow_typed_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 29-field typed Flow relation, parsed once per session and
+    localCheckpointed — flow_typed and flow_rollup both consume it
+    (same session-share trick as the amp2 family)."""
+    from streamevmon_spark.sources import flow as FL
+
+    key = (spark.sparkContext.applicationId, sf_dir, "flow_typed")
+    if key not in _AMP2_LINES_CACHE:
+        _AMP2_LINES_CACHE[key] = FL.flow_typed(
+            _flow_lines(spark, sf_dir)
+        ).localCheckpoint()
+    return _AMP2_LINES_CACHE[key]
+
+
 def _q_flow_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """libtrace-bigdata Flow.create over flow_statistics line protocol:
     the full 29-field typed relation incl. Option geolocation blocks
     and the reference's parse quirks."""
-    from streamevmon_spark.sources import flow as FL
-
-    return FL.flow_typed(_flow_lines(spark, sf_dir))
+    return _flow_typed_shared(spark, sf_dir)
 
 
 def _q_flow_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1126,7 +1138,23 @@ def _q_flow_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed Flow relation."""
     from streamevmon_spark.sources import flow as FL
 
-    return FL.flow_rollup(FL.flow_typed(_flow_lines(spark, sf_dir)))
+    return FL.flow_rollup(_flow_typed_shared(spark, sf_dir))
+
+
+def _amp2_parsed_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_protocol_maps output (line_id, measurement, tags, fields,
+    time), parsed ONCE per session and localCheckpointed — the whole
+    amp2 query family extracts from this one materialized parse (the
+    checkpoint is also a physical no-collapse barrier, so the map
+    builds can never be re-inlined per tag reference)."""
+    from streamevmon_spark.sources import amp2 as A
+
+    key = (spark.sparkContext.applicationId, sf_dir, "amp2_parsed")
+    if key not in _AMP2_LINES_CACHE:
+        _AMP2_LINES_CACHE[key] = A.line_protocol_maps(
+            _amp2_lines(spark, sf_dir)
+        ).localCheckpoint()
+    return _AMP2_LINES_CACHE[key]
 
 
 def _q_amp2_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1135,7 +1163,7 @@ def _q_amp2_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Direction validation and defaultValue/isLossy derivation."""
     from streamevmon_spark.sources import amp2 as A
 
-    return A.amp2_typed(_amp2_lines(spark, sf_dir))
+    return A.amp2_typed(parsed=_amp2_parsed_shared(spark, sf_dir))
 
 
 def _q_amp2_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,9 +1172,7 @@ def _q_amp2_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs)."""
     from streamevmon_spark.sources import amp2 as A
 
-    return A.amp2_table(
-        A.line_protocol_maps(_amp2_lines(spark, sf_dir)), "throughput"
-    )
+    return A.amp2_table(_amp2_parsed_shared(spark, sf_dir), "throughput")
 
 
 def _q_amp2_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1154,7 +1180,9 @@ def _q_amp2_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtype-specific columns NULL where absent)."""
     from streamevmon_spark.sources import amp2 as A
 
-    return A.amp2_latency_union(_amp2_lines(spark, sf_dir))
+    return A.amp2_latency_union(
+        parsed=_amp2_parsed_shared(spark, sf_dir)
+    )
 
 
 # topological linkage: groups whose streams are within this quirk-metric

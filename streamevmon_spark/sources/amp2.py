@@ -378,7 +378,9 @@ def _no_collapse(df: DataFrame, *cols: str) -> DataFrame:
     return out
 
 
-def amp2_typed(lines: DataFrame) -> DataFrame:
+def amp2_typed(
+    lines: DataFrame | None = None, parsed: DataFrame | None = None
+) -> DataFrame:
     """The createFromLineProtocol summary over every family: one row per
     accepted line with (line_id, measurement, subtype, stream, time,
     default_value, is_lossy). Lines whose measurement name matches no
@@ -392,8 +394,13 @@ def amp2_typed(lines: DataFrame) -> DataFrame:
     statement, Amp2Measurement.scala:96-113), not a 13-branch
     filter+union that would rescan the parse per family. The parsed
     maps sit behind a no-collapse barrier so they are built once per
-    row, not once per tag reference."""
-    parsed = _no_collapse(line_protocol_maps(lines), "tags", "fields")
+    row, not once per tag reference. Pass ``parsed`` (a
+    line_protocol_maps relation, e.g. materialized once per session)
+    to share the parse across the amp2 query family."""
+    if parsed is None:
+        parsed = _no_collapse(
+            line_protocol_maps(lines), "tags", "fields"
+        )
     subtype = stream = dval = valid = None
     for type_key, spec in AMP2_TYPES.items():
         mname = spec.get("measurement", type_key)
@@ -426,7 +433,9 @@ def amp2_typed(lines: DataFrame) -> DataFrame:
     )
 
 
-def amp2_latency_union(lines: DataFrame) -> DataFrame:
+def amp2_latency_union(
+    lines: DataFrame | None = None, parsed: DataFrame | None = None
+) -> DataFrame:
     """The Latency family with the reference's union column set
     (Amp2Measurement.getColumnNamesLatency: dns + icmp + tcpping column
     union — subtype-specific tags NULL where not applicable)."""
@@ -434,7 +443,10 @@ def amp2_latency_union(lines: DataFrame) -> DataFrame:
     # the test tag; subtype-specific tag columns are NULL where the
     # subtype doesn't declare them (the union column set of
     # Amp2Measurement.getColumnNamesLatency)
-    parsed = _no_collapse(line_protocol_maps(lines), "tags", "fields")
+    if parsed is None:
+        parsed = _no_collapse(
+            line_protocol_maps(lines), "tags", "fields"
+        )
     keys = ("latency-dns", "latency-icmp", "latency-tcpping")
     specs = {k: AMP2_TYPES[k] for k in keys}
     conds = {k: _type_cond(specs[k], "latency") for k in keys}
