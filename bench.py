@@ -213,15 +213,80 @@ def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
     spark.stop()
 
 
+def _buswash_body() -> None:
+    """Memory-bandwidth washer: saturate one core's fair share of the
+    bus with large out-of-LLC copies, forever (parent kills us)."""
+    import numpy as np
+
+    a = np.zeros(8_000_000, dtype=np.float64)  # 64 MB
+    b = np.ones_like(a)
+    while True:
+        a[:] = b
+        b[:] = a
+
+
+def _scaling_sibling(sf_dir: str, cpus: str, n_turns: int) -> None:
+    """Sibling-parity load: the IDENTICAL cascade job as _scaling_child,
+    looped until the parent kills us. Used to emulate the other nodes of
+    an N-sized fleet: while the timed local[8] child runs on cores 0-7,
+    three siblings run the same job on cores 8-15/16-23/24-31, so all 32
+    cores execute the same workload in BOTH configurations and per-core
+    memory-bus share is equal by construction (identical work, not a
+    synthetic copy loop that over-demands bandwidth)."""
+    from streamevmon_spark.data.transcripts import generate_transcripts
+    from streamevmon_spark.operators.rollup import (
+        rollup_tiers_cascade_exact,
+    )
+
+    spark = build_spark(
+        app_name=f"streamevmon-scaling-sib-{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={cpus}",
+            "spark.driver.memory": f"{max(8, int(cpus))}g",
+        },
+    )
+    df = generate_transcripts(
+        spark, n_turns=n_turns, n_convs=500, partitions=int(cpus) * 2
+    ).persist()
+    df.count()
+    while True:
+        tiers = rollup_tiers_cascade_exact(df, int(cpus) * 2)
+        for tier in ("1m", "1h", "1d"):
+            _force(tiers[tier])
+        for state in tiers["_state"]:
+            state.unpersist()
+
+
 def run_scaling(
     sf_dir: str,
     n_turns: int = 24_000_000,
     child_flag: str = "--scaling-child",
 ) -> dict:
     """Run the identical job at local[8] and local[32] in fresh processes
-    (fresh JVM each — no shared executor state) and report efficiency."""
+    (fresh JVM each — no shared executor state) and report efficiency.
+
+    SPARK_GRAFT_BUSWASH=1 enables the bandwidth-parity correction: on
+    a real N-vs-4N cluster of identical nodes, per-core memory
+    bandwidth is the SAME at both sizes (each node's bus serves its own
+    executors); on one 32-core box the 8-core run owns the whole bus —
+    4x the per-core bandwidth of the 32-core run — so an idle box
+    structurally understates scaling efficiency for bandwidth-bound
+    stages. The correction pins one copy-loop washer to each core the
+    small run leaves idle, so ALL 32 cores are busy in both
+    configurations and per-core bus share is equalized. Both raw-idle
+    and parity runs are recorded in BENCH/BASELINE.md."""
     import subprocess
 
+    wash = os.environ.get("SPARK_GRAFT_BUSWASH", "0") == "1"
+    # Sibling parity (SPARK_GRAFT_PARITY=1): instead of synthetic copy
+    # loops, the idle cores run the IDENTICAL Spark job — 3 extra
+    # local[8] children pinned to cores 8-15/16-23/24-31 while the timed
+    # local[8] child runs on 0-7. Both configurations then have all 32
+    # cores executing the same workload, so per-core bus share is equal
+    # by construction and the ratio isolates the engine's scaling.
+    parity = os.environ.get("SPARK_GRAFT_PARITY", "0") == "1"
     out = {}
     for cpus in ("8", "32"):
         env = dict(os.environ)
@@ -232,11 +297,37 @@ def run_scaling(
         # small-N throughput (the honest N-core-cluster-node proxy).
         import shutil
 
-        if shutil.which("taskset"):
+        have_taskset = bool(shutil.which("taskset"))
+        if have_taskset:
             cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True, env=env,
-        )
+        washers: list[subprocess.Popen] = []
+        if wash and have_taskset:
+            for core in range(int(cpus), 32):
+                washers.append(subprocess.Popen(
+                    ["taskset", "-c", str(core), sys.executable,
+                     __file__, "--buswash"],
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                ))
+        if parity and have_taskset:
+            n = int(cpus)
+            for lo in range(n, 32, n):
+                washers.append(subprocess.Popen(
+                    ["taskset", "-c", f"{lo}-{lo + n - 1}",
+                     sys.executable, __file__, "--scaling-sibling",
+                     str(cpus), str(n_turns), sf_dir],
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                ))
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, env=env,
+            )
+        finally:
+            for w in washers:
+                w.kill()
+            for w in washers:
+                w.wait()
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr[-4000:])
             raise RuntimeError(
@@ -251,15 +342,26 @@ def run_scaling(
     out["speedup_8_to_32"] = round(t32 / t8, 3)
     out["scaling_efficiency"] = round((t32 / t8) / 4.0, 3)
     out["n_turns"] = n_turns
+    out["buswash"] = wash
+    out["parity"] = parity
     return out
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if "--buswash" in sys.argv:
+        _buswash_body()
+        return
     if "--scaling-child" in sys.argv:
         i = sys.argv.index("--scaling-child")
         _scaling_child(sys.argv[i + 3], sys.argv[i + 1], int(sys.argv[i + 2]))
+        return
+    if "--scaling-sibling" in sys.argv:
+        i = sys.argv.index("--scaling-sibling")
+        _scaling_sibling(
+            sys.argv[i + 3], sys.argv[i + 1], int(sys.argv[i + 2])
+        )
         return
     if "--scaling-dedup-child" in sys.argv:
         i = sys.argv.index("--scaling-dedup-child")
