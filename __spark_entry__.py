@@ -281,6 +281,15 @@ def _q_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return downsample_lttb(load_transcripts(spark, sf_dir), 64)
 
 
+def _q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsample (first/last/bottom/top per series x 1h bucket,
+    operators/downsample.downsample_m4) — the pixel-exact fixed-grid
+    companion to LTTB's fixed point budget; pure window functions."""
+    from streamevmon_spark.operators.downsample import downsample_m4
+
+    return downsample_m4(load_transcripts(spark, sf_dir))
+
+
 def _q_sketch_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest latency sketches per 1h window — rows-only check;
     quantile accuracy asserted in tests/test_chunks.py."""
@@ -1381,6 +1390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (2) + every r4 addition ------------------------------
         "downsample_lttb": _q_downsample_lttb,
         "stream_chunks_closed": _q_stream_chunks,
+        # new r4: M4 downsample — the fixed-time-grid pixel-exact
+        # companion to LTTB (4 window argext picks, one exchange)
+        "downsample_m4": _q_downsample_m4,
         # new r4: manifest-driven incremental 1h/1d cascade refresh —
         # two-phase ingest into mergeable 1m state, day-partition
         # overwrite for new snapshot ranges only, hash-equal to the
@@ -1766,6 +1778,7 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "downsample_lttb": oracles.lttb_oracle(64),
+        "downsample_m4": oracles.m4_oracle(),
         "stream_chunks_closed": oracles.stream_chunks_closed_oracle("1h"),
         "flows_dag": (
             "SELECT * FROM ("

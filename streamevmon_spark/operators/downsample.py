@@ -162,3 +162,66 @@ def downsample_lttb(df: DataFrame, n_out: int = 64) -> DataFrame:
     return partitionwise_apply(
         pts, SERIES_KEY, ["x", "turn_idx"], batch, _OUT_SCHEMA
     )
+
+
+def downsample_m4(
+    df: DataFrame, width_us: int = 3_600_000_000
+) -> DataFrame:
+    """M4 downsample (Jugel et al., VLDB 2014): per (conv_id, tool,
+    role) series and tumbling time bucket of ``width_us`` µs, keep the
+    four pixel-exact extremum points — first (min ts), last (max ts),
+    bottom (min value), top (max value) — as the distinct point set.
+    The canonical error-free line-rendering downsample; complements
+    LTTB (shape-greedy, fixed point budget) with a fixed TIME grid.
+
+    reference intent: the same dashboard read surface as LTTB
+    (docs/grafana, InfluxDB retention tiers); M4 is what a width-w
+    pixel column renders losslessly.
+
+    Spark-first shape: NO Python — four ROW_NUMBER windows over the
+    SAME (series, bucket) partitioning (Catalyst plans one exchange +
+    per-role sorts), union, distinct. Ties are broken on the total
+    order (x, turn_idx) [value ties: (y, x, turn_idx)], mirrored
+    textually in oracles.m4_oracle; value comparisons happen on the
+    floor(value*1e6) int64 quantization (exact cross-engine), the
+    same domain the LTTB kernel uses.
+    """
+    from pyspark.sql.window import Window
+
+    pts = df.where(F.col("value").isNotNull()).select(
+        *SERIES_KEY,
+        "turn_idx",
+        "ts",
+        "value",
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("x"),
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("y"),
+    ).withColumn(
+        "bucket", F.expr(f"CAST(floor(x / {width_us}) AS BIGINT)")
+    )
+    part = [*SERIES_KEY, "bucket"]
+    orders = {
+        "first": [F.col("x").asc(), F.col("turn_idx").asc()],
+        "last": [F.col("x").desc(), F.col("turn_idx").desc()],
+        "bottom": [F.col("y").asc(), F.col("x").asc(),
+                   F.col("turn_idx").asc()],
+        "top": [F.col("y").desc(), F.col("x").asc(),
+                F.col("turn_idx").asc()],
+    }
+    picked = None
+    for order in orders.values():
+        w = Window.partitionBy(*part).orderBy(*order)
+        sel = (
+            pts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(*SERIES_KEY, "bucket", "ts", "value")
+        )
+        picked = sel if picked is None else picked.unionAll(sel)
+    return picked.distinct().select(
+        *SERIES_KEY,
+        F.expr(
+            f"timestampadd(MICROSECOND, bucket * {width_us}, "
+            f"{EPOCH_NTZ})"
+        ).alias("bucket_start"),
+        "ts",
+        "value",
+    )

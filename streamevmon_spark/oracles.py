@@ -2190,6 +2190,38 @@ SELECT conv_id, tool, role, ts, value FROM small
     return with_transcripts(body)
 
 
+def m4_oracle(width_us: int = 3_600_000_000) -> str:
+    """Mirror of operators/downsample.downsample_m4: per series and
+    tumbling ``width_us`` bucket, the DISTINCT point set of the four
+    ROW_NUMBER argext picks (first/last by (x, turn_idx); bottom/top by
+    (y, x, turn_idx) on the floor(value*1e6) int64 quantization) —
+    identical total orders, so both engines pick identical rows."""
+    body = f"""
+, pts AS (
+    SELECT conv_id, tool, role, turn_idx, ts, value,
+           epoch_us(ts) AS x,
+           CAST(floor(value * 1000000) AS BIGINT) AS y,
+           epoch_us(ts) // {width_us} AS bucket
+    FROM transcripts WHERE value IS NOT NULL
+), r AS (
+    SELECT conv_id, tool, role, bucket, ts, value,
+        row_number() OVER (PARTITION BY conv_id, tool, role, bucket
+            ORDER BY x, turn_idx) AS rf,
+        row_number() OVER (PARTITION BY conv_id, tool, role, bucket
+            ORDER BY x DESC, turn_idx DESC) AS rl,
+        row_number() OVER (PARTITION BY conv_id, tool, role, bucket
+            ORDER BY y, x, turn_idx) AS rb,
+        row_number() OVER (PARTITION BY conv_id, tool, role, bucket
+            ORDER BY y DESC, x, turn_idx) AS rt
+    FROM pts
+)
+SELECT DISTINCT conv_id, tool, role,
+    make_timestamp(bucket * {width_us}) AS bucket_start, ts, value
+FROM r WHERE rf = 1 OR rl = 1 OR rb = 1 OR rt = 1
+"""
+    return with_transcripts(body)
+
+
 def stream_chunks_closed_oracle(tier: str = "1h") -> str:
     """Expected decode of the streaming chunk writer's drained output
     (streaming/chunk_stream.stream_compress_chunks): exactly the

@@ -14,6 +14,7 @@ from streamevmon_spark.data.transcripts import load_transcripts
 from streamevmon_spark.operators.downsample import (
     _bucket_bounds,
     downsample_lttb,
+    downsample_m4,
     lttb_select,
 )
 
@@ -113,6 +114,62 @@ def test_downsample_plan_single_exchange(spark, sf_dir):
 def test_n_out_validation(spark, sf_dir):
     with pytest.raises(ValueError):
         downsample_lttb(load_transcripts(spark, sf_dir), 2)
+
+
+def test_downsample_m4_invariants(spark, sf_dir):
+    df = load_transcripts(spark, sf_dir)
+    out = downsample_m4(df).persist()
+    try:
+        # at most 4 distinct points per (series, bucket)
+        per_bucket = out.groupBy(
+            "conv_id", "tool", "role", "bucket_start"
+        ).count()
+        assert per_bucket.where("count > 4").count() == 0
+        # the min and max value of every bucket survive exactly
+        pts = df.where(F.col("value").isNotNull()).select(
+            "conv_id", "tool", "role", "ts", "value"
+        )
+        win = 3_600_000_000
+        bucketed = pts.withColumn(
+            "bucket_start",
+            F.expr(
+                "timestampadd(MICROSECOND, CAST(floor(datediff("
+                f"MICROSECOND, timestamp_ntz'1970-01-01', ts) / {win})"
+                f" AS BIGINT) * {win}, timestamp_ntz'1970-01-01')"
+            ),
+        )
+        ext = bucketed.groupBy(
+            "conv_id", "tool", "role", "bucket_start"
+        ).agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        got = out.groupBy("conv_id", "tool", "role", "bucket_start").agg(
+            F.min("value").alias("gmin"), F.max("value").alias("gmax")
+        )
+        j = ext.join(got, ["conv_id", "tool", "role", "bucket_start"])
+        assert j.count() == ext.count()
+        assert j.where(
+            (F.col("vmin") != F.col("gmin"))
+            | (F.col("vmax") != F.col("gmax"))
+        ).count() == 0
+        # selected rows are a subset of the input rows
+        assert out.select(
+            "conv_id", "tool", "role", "ts", "value"
+        ).join(pts, ["conv_id", "tool", "role", "ts", "value"],
+               "left_anti").count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_downsample_m4_single_point_exchange(spark, sf_dir):
+    # all four argext windows share one (series, bucket) partitioning:
+    # Catalyst must plan ONE exchange per branch of the union over the
+    # same shuffle (plus the upstream transcripts-derivation exchange
+    # and the final distinct); no more
+    df = load_transcripts(spark, sf_dir)
+    plan = (
+        downsample_m4(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 6, plan
 
 
 def _ref_lttb(x, y, n_out):
