@@ -222,6 +222,41 @@ def _q_cascade_incremental(tier: str):
     return q
 
 
+def _q_stream_cascade(tier: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming continuous-aggregate maintenance
+        (streaming/cascade_stream.py): micro-batches of arriving turns
+        are folded into mergeable 1m state and the 1h/1d tiers are
+        refreshed per epoch via the shared watermark machinery — the
+        reference's subscribe-phase lifecycle
+        (flink/sources/InfluxAmpSourceFunction.scala:179-230). Drained
+        result must hash-equal the full-rebuild rollup oracle. The
+        store is shared by the 1h/1d twins; a second drain over the
+        same checkpoint is a no-op."""
+        import hashlib
+        import tempfile
+
+        from streamevmon_spark.plans import cascade_store as C
+        from streamevmon_spark.streaming import rollup_stream as S
+        from streamevmon_spark.streaming.cascade_stream import (
+            stream_cascade_store,
+        )
+
+        path = _stream_input(spark, sf_dir)
+        h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        out = os.path.join(
+            tempfile.gettempdir(), f"semon_stream_cascade_{h}"
+        )
+        stream_cascade_store(
+            spark,
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            out,
+        )
+        return C.read_cascade(spark, out, tier)
+
+    return q
+
+
 def _q_sketch_incremental(tier: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Incrementally maintained t-digest sketch tier (north rule:
@@ -279,6 +314,68 @@ def _q_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.operators.downsample import downsample_lttb
 
     return downsample_lttb(load_transcripts(spark, sf_dir), 64)
+
+
+BM25_TERMS = ["hash", "scan", "table", "value"]
+
+#: deterministic PII augmentation (identical expression mirrored in the
+#: DuckDB oracle): every doc gains an email + an IPv4; docs with even
+#: ids gain an SSN + a card; ids % 3 == 0 gain a phone number
+PII_AUG = (
+    "concat(text, ' reach u', CAST(doc_id AS STRING),"
+    " '@mail.example.org',"
+    " CASE WHEN doc_id % 2 = 0 THEN"
+    " ' ssn 123-45-6789 card 4111 1111 1111 1111' ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN"
+    " concat(' call +1415555', CAST(doc_id % 10000 AS STRING))"
+    " ELSE '' END,"
+    " ' host 10.0.', CAST(doc_id % 256 AS STRING), '.77')"
+)
+PII_AUG_DUCK = PII_AUG.replace("AS STRING", "AS VARCHAR")
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scores for a fixed query-term set
+    (operators/retrieval.bm25_scores) — map-side-filtered postings,
+    broadcast term stats, ascending-term-fold score. The gate
+    projection quantizes the score to 1e-6 (exact integer floor in
+    both engines) because the JVM ln intrinsic and libm ln can differ
+    by 1 ULP (tests/test_retrieval.py pins the bound)."""
+    from pyspark.sql import functions as FF
+
+    from streamevmon_spark.operators.retrieval import (
+        bm25_scores,
+        quantize_micro,
+    )
+
+    out = bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
+    return out.withColumn("score", quantize_micro(FF.col("score")))
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram mean NLL quality score
+    (operators/textstats.unigram_logprob), nll quantized to 1e-6 for
+    the gate (same ln-ULP rationale as _q_bm25)."""
+    from pyspark.sql import functions as FF
+
+    from streamevmon_spark.operators.retrieval import quantize_micro
+    from streamevmon_spark.operators.textstats import unigram_logprob
+
+    out = unigram_logprob(_docs(spark, sf_dir))
+    return out.withColumn("nll", quantize_micro(FF.col("nll")))
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction counts + scrubbed text (operators/scrub.pii_scrub)
+    over deterministically PII-augmented documents (the raw synthetic
+    corpus contains none) — map-only regex chain in the Java/RE2
+    dialect intersection."""
+    from pyspark.sql import functions as FF
+
+    from streamevmon_spark.operators.scrub import pii_scrub
+
+    docs = _docs(spark, sf_dir).withColumn("text", FF.expr(PII_AUG))
+    return pii_scrub(docs)
 
 
 def _q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1393,6 +1490,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r4: M4 downsample — the fixed-time-grid pixel-exact
         # companion to LTTB (4 window argext picks, one exchange)
         "downsample_m4": _q_downsample_m4,
+        # new r4: lexical retrieval (BM25 over map-side-filtered
+        # postings) + PII scrubbing (map-only regex chain in the
+        # Java/RE2 dialect intersection)
+        "bm25_scores": _q_bm25,
+        "pii_scrub": _q_pii_scrub,
+        "unigram_logprob": _q_unigram_logprob,
         # new r4: manifest-driven incremental 1h/1d cascade refresh —
         # two-phase ingest into mergeable 1m state, day-partition
         # overwrite for new snapshot ranges only, hash-equal to the
@@ -1404,6 +1507,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_incremental_1d": _q_sketch_incremental("1d"),
         "cascade_incremental_1h": _q_cascade_incremental("1h"),
         "cascade_incremental_1d": _q_cascade_incremental("1d"),
+        # new r4: STREAMING continuous-aggregate maintenance — the
+        # foreachBatch subscribe-phase twin of the batch store; every
+        # micro-batch appends 1m state and refreshes the touched 1h/1d
+        # day-partitions (streaming/cascade_stream.py)
+        "stream_cascade_1h": _q_stream_cascade("1h"),
+        "stream_cascade_1d": _q_stream_cascade("1d"),
         # new r4: perfSONAR esmond typed ingest — 6 concrete measurement
         # classes dispatched from event-type strings, REST-base-URI
         # stream ids, parse(print(x)) == x vs the closed-form oracle
@@ -1644,6 +1753,8 @@ def oracle_sql() -> dict[str, str]:
         # incremental refresh must equal the full rebuild exactly, so
         # the full-rebuild rollup oracle IS its oracle
         "cascade_incremental_1h": oracles.rollup_oracle("1h"),
+        "stream_cascade_1h": oracles.rollup_oracle("1h"),
+        "stream_cascade_1d": oracles.rollup_oracle("1d"),
         "cascade_incremental_1d": oracles.rollup_oracle("1d"),
         # the sketch tier's exact face (total weight + min/max) vs the
         # raw-side aggregate; centroid accuracy is pytest-tolerance
@@ -1779,6 +1890,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "downsample_lttb": oracles.lttb_oracle(64),
         "downsample_m4": oracles.m4_oracle(),
+        "bm25_scores": docs_oracles.bm25_oracle(BM25_TERMS),
+        "pii_scrub": docs_oracles.pii_scrub_oracle(PII_AUG_DUCK),
+        "unigram_logprob": docs_oracles.unigram_logprob_oracle(),
         "stream_chunks_closed": oracles.stream_chunks_closed_oracle("1h"),
         "flows_dag": (
             "SELECT * FROM ("

@@ -147,6 +147,13 @@ def _scaling_child(sf_dir: str, cpus: str, n_turns: int) -> None:
     spark.stop()
 
 
+def _dedup_heap_gb(cpus: str) -> int:
+    gb_per_core = float(
+        os.environ.get("SPARK_GRAFT_DEDUP_GB_PER_CORE", "1")
+    )
+    return max(8, int(gb_per_core * int(cpus)))
+
+
 def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
     """Child body for the training-data-layer scaling axis: exact dedup
     (hash groupBy) + MinHash-LSH near-dup pairs (signatures -> banded
@@ -165,7 +172,13 @@ def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
         extra_conf={
             "spark.driver.extraJavaOptions":
                 f"-XX:ActiveProcessorCount={cpus}",
-            "spark.driver.memory": f"{max(8, int(cpus))}g",
+            # SPARK_GRAFT_DEDUP_GB_PER_CORE: symmetric per-core heap for
+            # this axis (default 1 g/core, floor 8 g). At 2M docs the
+            # 8 g T8 heap is marginal — it survives an idle box but
+            # OOMs under any bus contention (GC can't keep up), so the
+            # load-equalized runs use 1.5 g/core on BOTH children
+            # (per-core-equal: neither side is flattered).
+            "spark.driver.memory": f"{_dedup_heap_gb(cpus)}g",
         },
     )
     from streamevmon_spark.operators.dedup import minhash_signatures
@@ -259,6 +272,42 @@ def _scaling_sibling(sf_dir: str, cpus: str, n_turns: int) -> None:
             state.unpersist()
 
 
+def _scaling_dedup_sibling(cpus: str, n_docs: int) -> None:
+    """Sibling-parity load for the dedup axis: the identical dedup
+    pipeline, looped until killed (see _scaling_sibling)."""
+    from streamevmon_spark.data.documents import generate_documents
+    from streamevmon_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+
+    spark = build_spark(
+        app_name=f"streamevmon-scaling-dedup-sib-{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={cpus}",
+            "spark.driver.memory": f"{_dedup_heap_gb(cpus)}g",
+        },
+    )
+    docs = generate_documents(
+        spark, n_docs=n_docs, partitions=int(cpus) * 2
+    ).persist()
+    docs.count()
+    while True:
+        exact_dedup(docs).write.format("noop").mode("overwrite").save()
+        minhash_lsh_pairs(docs, threshold=0.5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+
+#: sibling-loop flag per timed-child flag (sibling runs the SAME axis)
+_SIBLING_FLAG = {
+    "--scaling-child": "--scaling-sibling",
+    "--scaling-dedup-child": "--scaling-dedup-sibling",
+}
+
+
 def run_scaling(
     sf_dir: str,
     n_turns: int = 24_000_000,
@@ -311,13 +360,26 @@ def run_scaling(
                 ))
         if parity and have_taskset:
             n = int(cpus)
-            for lo in range(n, 32, n):
+            sib_flag = _SIBLING_FLAG[child_flag]
+            # dedup siblings: halve the corpus and use disk-backed
+            # local dirs — the default /dev/shm local dir is RAM-backed
+            # and four concurrent full-size jobs exhaust physical RAM
+            # (observed: missing shuffle/rdd block files). The parity
+            # load only needs the same workload SHAPE per core, not the
+            # same footprint.
+            dedup_axis = child_flag == "--scaling-dedup-child"
+            sib_n = n_turns // 2 if dedup_axis else n_turns
+            for idx, lo in enumerate(range(n, 32, n)):
+                sib_env = dict(os.environ)
+                if dedup_axis:
+                    sib_env["SPARK_LOCAL_DIR"] = f"/tmp/spark_sib_{idx}"
                 washers.append(subprocess.Popen(
                     ["taskset", "-c", f"{lo}-{lo + n - 1}",
-                     sys.executable, __file__, "--scaling-sibling",
-                     str(cpus), str(n_turns), sf_dir],
+                     sys.executable, __file__, sib_flag,
+                     str(cpus), str(sib_n), sf_dir],
                     stdout=subprocess.DEVNULL,
                     stderr=subprocess.DEVNULL,
+                    env=sib_env,
                 ))
         try:
             proc = subprocess.run(
@@ -328,6 +390,12 @@ def run_scaling(
                 w.kill()
             for w in washers:
                 w.wait()
+            if washers:
+                import shutil as _sh
+
+                for idx in range(3):
+                    _sh.rmtree(f"/tmp/spark_sib_{idx}",
+                               ignore_errors=True)
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr[-4000:])
             raise RuntimeError(
@@ -366,6 +434,10 @@ def main() -> None:
     if "--scaling-dedup-child" in sys.argv:
         i = sys.argv.index("--scaling-dedup-child")
         _scaling_dedup_child(sys.argv[i + 1], int(sys.argv[i + 2]))
+        return
+    if "--scaling-dedup-sibling" in sys.argv:
+        i = sys.argv.index("--scaling-dedup-sibling")
+        _scaling_dedup_sibling(sys.argv[i + 1], int(sys.argv[i + 2]))
         return
     if "--scaling-dedup" in sys.argv:
         out = run_scaling(

@@ -867,3 +867,141 @@ SELECT doc_id,
 FROM b JOIN corpus USING (block_md5)
 GROUP BY doc_id
 """
+
+
+def bm25_oracle(
+    terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Expected ``retrieval.bm25_scores`` as projected by the gate:
+    integer tf/df/dl, one double avgdl division, the per-term
+    contribution in the textually identical operand order, and a
+    0.0-seeded left fold over contributions in ascending term order.
+    ln is transcendental and the JVM intrinsic can differ from libm by
+    1 ULP (tests/test_retrieval.py pins the bound), so the final score
+    is quantized to 1e-6 by exact integer floor in BOTH engines —
+    identical results because the pre-quantization gap is ~1e-13."""
+    from streamevmon_spark.operators.retrieval import quantize_micro_sql
+
+    lit = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    kd = f"CAST({k1} AS DOUBLE)"
+    bd = f"CAST({b} AS DOUBLE)"
+    q = quantize_micro_sql("score")
+    return f"""
+SELECT doc_id, n_terms, dl, {q} AS score FROM (
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+posting AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+    WHERE list_contains({lit}, term)
+    GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CAST(sum(len(toks)) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avgdl
+    FROM toks
+),
+df_t AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM posting
+    GROUP BY term
+),
+contrib AS (
+    SELECT p.doc_id, p.term, dl.dl,
+           ln(CAST(1.0 AS DOUBLE)
+              + (CAST(s.n_docs - f.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * (CAST(p.tf AS DOUBLE)
+              / (CAST(p.tf AS DOUBLE) + {kd} * (CAST(1.0 AS DOUBLE)
+                 - {bd} + {bd} * (CAST(dl.dl AS DOUBLE) / s.avgdl))))
+               AS contrib
+    FROM posting p
+    JOIN df_t f USING (term)
+    JOIN dl USING (doc_id), stats s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       dl,
+       list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(contrib ORDER BY term)),
+           (x, y) -> x + y) AS score
+FROM contrib
+GROUP BY doc_id, dl
+)
+"""
+
+
+def pii_scrub_oracle(augment_sql: str = "text") -> str:
+    """Expected ``scrub.pii_scrub`` over ``augment_sql`` (a text
+    expression over documents columns): the same rule chain in the
+    same order; DuckDB's regexp_replace needs the 'g' flag to match
+    Spark's replace-all semantics; counts via len(regexp_extract_all)
+    on the text state each class actually saw."""
+    from streamevmon_spark.operators.scrub import PII_RULES
+
+    text_expr = augment_sql
+    count_cols = []
+    steps = [f"s0 AS (SELECT doc_id, {text_expr} AS t FROM documents)"]
+    for i, (name, pat, repl) in enumerate(PII_RULES):
+        prev, cur = f"s{i}", f"s{i + 1}"
+        count_cols.append(f"n_{name}")
+        steps.append(
+            f"{cur} AS (SELECT doc_id, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t, "
+            + ", ".join(
+                f"n_{PII_RULES[j][0]}" for j in range(i)
+            )
+            + (", " if i else "")
+            + f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT)"
+            f" AS n_{name} FROM {prev})"
+        )
+    last = f"s{len(PII_RULES)}"
+    return (
+        "WITH " + ",\n".join(steps)
+        + f"\nSELECT doc_id, t AS scrubbed, "
+        + ", ".join(count_cols)
+        + f" FROM {last}"
+    )
+
+
+def unigram_logprob_oracle() -> str:
+    """Expected ``textstats.unigram_logprob`` as projected by the
+    gate: integer tf/ctf/total, the per-term contribution in the
+    textually identical operand order, and the 0.0-seeded
+    ascending-term fold divided by the token count — nll quantized to
+    1e-6 (same ln-ULP rationale as :func:`bm25_oracle`)."""
+    from streamevmon_spark.operators.retrieval import quantize_micro_sql
+
+    q = quantize_micro_sql("nll")
+    return f"""
+SELECT doc_id, dl, {q} AS nll FROM (
+WITH pairs AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents)
+    GROUP BY doc_id, term
+),
+corpus AS (
+    SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM pairs GROUP BY term
+),
+total AS (SELECT CAST(sum(ctf) AS BIGINT) AS t_total FROM corpus),
+contrib AS (
+    SELECT p.doc_id, p.term, p.tf,
+           CAST(p.tf AS DOUBLE) * (-ln(CAST(c.ctf AS DOUBLE)
+               / CAST(t.t_total AS DOUBLE))) AS contrib
+    FROM pairs p JOIN corpus c USING (term), total t
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS dl,
+       list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(contrib ORDER BY term)),
+           (x, y) -> x + y)
+           / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS nll
+FROM contrib
+GROUP BY doc_id
+)
+"""

@@ -128,3 +128,73 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.expr(f"md5({canon})").alias("canonical_md5"),
         F.expr(min_shingle_hash).cast("long").alias("min_shingle_hash"),
     )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality score (the CCNet/Wikipedia-LM filter
+    idea with the corpus itself as the language model): per document,
+    the mean negative log-probability of its tokens under the corpus
+    unigram distribution — high values = tokens rare in the corpus =
+    unusual/noisy text.
+
+    Columns: doc_id, dl (token count), nll (mean -ln p(token), nats).
+
+    Spark-first: one explode -> (doc, term) counts, a corpus term-count
+    aggregate joined back on term (hash equi-join, AQE-sized), and a
+    1-row total broadcast. Per-doc summation folds per-term
+    contributions in ascending term order seeded with 0.0 (the
+    docs_oracles fold discipline) so the double sum is deterministic;
+    the JVM ln intrinsic may differ from libm by 1 ULP
+    (tests/test_retrieval.py pins the bound), so the driver gate
+    compares nll quantized to 1e-6 (retrieval.quantize_micro) against
+    docs_oracles.unigram_logprob_oracle.
+    """
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias(
+                "term"
+            ),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    corpus = pairs.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("ctf")
+    )
+    total = corpus.agg(
+        F.sum("ctf").cast("long").alias("t_total")
+    )
+    contrib = (
+        pairs.join(corpus, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.expr(
+                "CAST(tf AS DOUBLE) * (-ln(CAST(ctf AS DOUBLE)"
+                " / CAST(t_total AS DOUBLE)))"
+            ).alias("contrib"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            F.array_sort(
+                F.collect_list(F.struct("term", "contrib"))
+            ).alias("__arr"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            (
+                F.expr(
+                    "aggregate(__arr, CAST(0.0 AS DOUBLE),"
+                    " (acc, s) -> acc + s.contrib)"
+                )
+                / F.col("dl").cast("double")
+            ).alias("nll"),
+        )
+    )

@@ -75,16 +75,11 @@ DAY_US = 86400 * 1_000_000
 DEFAULT_BUCKET_S = 216_000
 
 
-def _state_1m(unioned: DataFrame) -> DataFrame:
-    """Mergeable 1m aggregate state for one bucket's (boundary-
-    augmented) rows: the same aggregate spec as the cascade head
-    (operators/rollup.rollup_tiers_cascade_exact), keyed by the integer
-    window start ``__w_us``."""
-    win_us = 60 * 1_000_000
-    with_lat = _with_window_and_quant(
-        add_inter_turn_latency_bucketed(unioned), win_us
-    )
-    return with_lat.groupBy(*SERIES_KEY, "__w_us").agg(
+def _state_agg_exprs() -> list:
+    """The mergeable 1m aggregate spec of the cascade head
+    (operators/rollup.rollup_tiers_cascade_exact) — shared by the batch
+    store and the streaming store (streaming/cascade_stream.py)."""
+    return [
         F.count(F.lit(1)).alias("turn_count"),
         F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
             "lossy_count"
@@ -96,6 +91,20 @@ def _state_1m(unioned: DataFrame) -> DataFrame:
         F.sort_array(F.collect_list("lat_us")).alias("__lat_arr"),
         F.sum("__val_q").alias("__val_sum"),
         F.count("__val_q").alias("__val_cnt"),
+    ]
+
+
+def _state_1m(unioned: DataFrame) -> DataFrame:
+    """Mergeable 1m aggregate state for one bucket's (boundary-
+    augmented) rows: the same aggregate spec as the cascade head
+    (operators/rollup.rollup_tiers_cascade_exact), keyed by the integer
+    window start ``__w_us``."""
+    win_us = 60 * 1_000_000
+    with_lat = _with_window_and_quant(
+        add_inter_turn_latency_bucketed(unioned), win_us
+    )
+    return with_lat.groupBy(*SERIES_KEY, "__w_us").agg(
+        *_state_agg_exprs()
     )
 
 
