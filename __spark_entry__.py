@@ -387,6 +387,74 @@ def _q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return downsample_m4(load_transcripts(spark, sf_dir))
 
 
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (inactivity > 30m splits) +
+    per-session aggregates (operators/sessions.session_stats) — the
+    relational lift of the reference detectors' inactivityPurgeTime
+    session-reset rule."""
+    from streamevmon_spark.operators.sessions import session_stats
+
+    return session_stats(load_transcripts(spark, sf_dir))
+
+
+def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition matrix: (prev_role -> role) bigram counts in
+    turn order with a START state (operators/sessions.role_transitions)."""
+    from streamevmon_spark.operators.sessions import role_transitions
+
+    return role_transitions(load_transcripts(spark, sf_dir))
+
+
+def _q_context_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window growth per conversation: cumulative prompt chars
+    and the first turn exceeding the budget
+    (operators/sessions.context_growth)."""
+    from streamevmon_spark.operators.sessions import context_growth
+
+    return context_growth(load_transcripts(spark, sf_dir))
+
+
+def _q_counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style increase/rate with counter-reset detection over a
+    deterministic wrap-around counter, per series x 1h bucket
+    (operators/sessions.counter_rate)."""
+    from streamevmon_spark.operators.sessions import counter_rate
+
+    return counter_rate(load_transcripts(spark, sf_dir), "1h")
+
+
+def _q_hll_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-conversation sketches per (tool, role) x 1h bucket
+    (operators/hll.hll_distinct) — exact integer register state +
+    deterministic raw estimate, portable-hash based."""
+    from streamevmon_spark.operators.hll import hll_distinct
+
+    return hll_distinct(load_transcripts(spark, sf_dir), "1h")
+
+
+def _q_hll_1d_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof as a gate row: 1d HLL summaries produced by
+    MERGING stored 1h register state (max per register), hash-equal to
+    the oracle's direct from-raw 1d computation
+    (operators/hll.hll_merge_registers)."""
+    from streamevmon_spark.operators.hll import (
+        hll_merge_registers,
+        hll_registers,
+        hll_summary,
+    )
+
+    regs_1h = hll_registers(load_transcripts(spark, sf_dir), "1h")
+    return hll_summary(hll_merge_registers(regs_1h, "1h", "1d"))
+
+
+def _q_smooth_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA smoothing (operators/smooth.smooth_ewma) — the
+    sequential fold kernel vs the recursive-CTE replay, bit-exact."""
+    from streamevmon_spark.operators.smooth import smooth_ewma
+
+    return smooth_ewma(load_transcripts(spark, sf_dir), alpha=0.3)
+
+
 def _q_sketch_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest latency sketches per 1h window — rows-only check;
     quantile accuracy asserted in tests/test_chunks.py."""
@@ -1522,6 +1590,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # protocol -> 29-field typed relation -> per-capture rollup)
         "flow_typed": _q_flow_typed,
         "flow_rollup": _q_flow_rollup,
+        # new r4 (late additions, still in-window): session analytics
+        # over the transcripts table + PromQL-style counter rate +
+        # mergeable HLL distinct sketches per retention tier
+        "session_stats": _q_session_stats,
+        "role_transitions": _q_role_transitions,
+        "context_growth": _q_context_growth,
+        "counter_rate_1h": _q_counter_rate_1h,
+        "hll_distinct_1h": _q_hll_1h,
+        "hll_distinct_1d_merged": _q_hll_1d_merged,
+        "smooth_ewma": _q_smooth_ewma,
         # --- r03-green, kept in-window (most recently changed code) --
         # topology-graph family (reference events/grouping/graph/*):
         # traceroute paths -> vertex/edge relations -> prune + largest
@@ -1890,6 +1968,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "downsample_lttb": oracles.lttb_oracle(64),
         "downsample_m4": oracles.m4_oracle(),
+        "session_stats": oracles.session_stats_oracle(1800),
+        "role_transitions": oracles.role_transitions_oracle(),
+        "context_growth": oracles.context_growth_oracle(512),
+        "counter_rate_1h": oracles.counter_rate_oracle("1h", 4096),
+        "hll_distinct_1h": oracles.hll_distinct_oracle("1h"),
+        # the merged query's oracle is the DIRECT from-raw 1d sketch:
+        # hash-equality IS the mergeability proof (max of maxes == max)
+        "hll_distinct_1d_merged": oracles.hll_distinct_oracle("1d"),
+        "smooth_ewma": oracles.smooth_ewma_oracle(0.3),
         "bm25_scores": docs_oracles.bm25_oracle(BM25_TERMS),
         "pii_scrub": docs_oracles.pii_scrub_oracle(PII_AUG_DUCK),
         "unigram_logprob": docs_oracles.unigram_logprob_oracle(),

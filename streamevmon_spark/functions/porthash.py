@@ -33,3 +33,25 @@ def hex32(value: str) -> int:
     import hashlib
 
     return int(hashlib.md5(value.encode()).hexdigest()[:8], 16)
+
+
+_POW16_48 = [16 ** (12 - i) for i in range(1, 13)]
+
+
+def hex48_sql(arg_sql: str) -> str:
+    """SQL computing the 48-bit integer of md5(arg_sql)'s first 12 hex
+    chars. Valid in both Spark SQL and DuckDB. 48 bits (< 2^53) so the
+    value is exact even if an engine routes it through a double."""
+    terms = [
+        f"(CAST(instr('0123456789abcdef', substr(md5({arg_sql}), {i}, 1))"
+        f" AS BIGINT) - 1) * {_POW16_48[i - 1]}"
+        for i in range(1, 13)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hex48(value: str) -> int:
+    """Python mirror (for tests)."""
+    import hashlib
+
+    return int(hashlib.md5(value.encode()).hexdigest()[:12], 16)

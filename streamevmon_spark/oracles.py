@@ -2243,3 +2243,200 @@ FROM pts p JOIN m USING (conv_id, tool, role)
 WHERE p.bk < m.mb
 """
     return with_transcripts(body)
+
+
+# ---------------------------------------------------------------------------
+# session analytics + counter rate (operators/sessions.py)
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_CTE = """
+g AS (
+    SELECT conv_id, turn_idx, role, tool, ts, text,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+             THEN 1 ELSE 0 END AS is_new
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+s AS (
+    SELECT *,
+        CAST(sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+            AS INT) AS session_idx
+    FROM g
+)
+"""
+
+
+def session_stats_oracle(gap_s: int = 1800) -> str:
+    """Mirror of operators/sessions.session_stats: gaps-and-islands
+    sessionization (gap > gap_s splits) + per-session aggregates.
+    duration_s is one exact integer-µs/literal division."""
+    body = "," + _SESSIONIZE_CTE.format(gap_us=gap_s * 1_000_000) + """
+SELECT conv_id, session_idx,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    min(ts) AS session_start,
+    max(ts) AS session_end,
+    CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 1000000.0
+        AS duration_s,
+    CAST(sum(CASE WHEN tool <> 'none' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_tool_turns
+FROM s GROUP BY conv_id, session_idx
+"""
+    return with_transcripts(body)
+
+
+def role_transitions_oracle() -> str:
+    """Mirror of operators/sessions.role_transitions."""
+    body = """
+, b AS (
+    SELECT coalesce(lag(role) OVER (PARTITION BY conv_id
+        ORDER BY ts, turn_idx), 'START') AS prev_role, role
+    FROM transcripts
+)
+SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY prev_role, role
+"""
+    return with_transcripts(body)
+
+
+def context_growth_oracle(budget_chars: int = 512) -> str:
+    """Mirror of operators/sessions.context_growth."""
+    body = f"""
+, c AS (
+    SELECT conv_id, turn_idx,
+        CAST(sum(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_chars
+    FROM transcripts
+)
+SELECT conv_id,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    max(cum_chars) AS total_chars,
+    min(CASE WHEN cum_chars > {budget_chars} THEN turn_idx END)
+        AS first_over_turn
+FROM c GROUP BY conv_id
+"""
+    return with_transcripts(body)
+
+
+def counter_rate_oracle(tier: str = "1h", wrap: int = 4096) -> str:
+    """Mirror of operators/sessions.counter_rate: wrap-around counter
+    from the running text-length sum, PromQL-style reset-aware
+    increase + rate per tier bucket."""
+    win_us = TIERS[tier] * 1_000_000
+    body = f"""
+, c AS (
+    SELECT conv_id, tool, role, ts, turn_idx,
+        CAST(sum(length(text)) OVER w AS BIGINT) % {wrap} AS c
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id, tool, role ORDER BY ts, turn_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (
+    SELECT conv_id, tool, role, ts, c,
+        c - lag(c) OVER (PARTITION BY conv_id, tool, role
+            ORDER BY ts, turn_idx) AS d
+    FROM c
+),
+a AS (
+    SELECT conv_id, tool, role,
+        (epoch_us(ts) // {win_us}) * {win_us} AS w_us,
+        CASE WHEN d IS NULL THEN 0 WHEN d < 0 THEN c ELSE d END AS inc,
+        CASE WHEN d < 0 THEN 1 ELSE 0 END AS is_reset
+    FROM d
+)
+SELECT conv_id, tool, role,
+    make_timestamp(w_us) AS bucket_start,
+    CAST(sum(inc) AS BIGINT) AS increase,
+    CAST(sum(inc) AS DOUBLE) / {float(TIERS[tier])} AS rate_per_s,
+    CAST(sum(is_reset) AS BIGINT) AS n_resets
+FROM a GROUP BY conv_id, tool, role, w_us
+"""
+    return with_transcripts(body)
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct sketches (operators/hll.py)
+# ---------------------------------------------------------------------------
+
+
+def _hll_registers_cte(tier: str, key_col: str = "conv_id") -> str:
+    from streamevmon_spark.functions.porthash import hex48_sql
+
+    win_us = TIERS[tier] * 1_000_000
+    h = hex48_sql(key_col)
+    return f"""
+hpts AS (
+    SELECT (epoch_us(ts) // {win_us}) * {win_us} AS w_us, tool, role,
+        CAST({h} % 64 AS INT) AS reg,
+        {h} // 64 AS r
+    FROM transcripts
+),
+regs AS (
+    SELECT w_us, tool, role, reg,
+        max(CASE WHEN r = 0 THEN 43
+                 ELSE 43 - length(bin(r)) END) AS max_rank
+    FROM hpts GROUP BY w_us, tool, role, reg
+)
+"""
+
+
+def hll_distinct_oracle(tier: str = "1h", key_col: str = "conv_id") -> str:
+    """Mirror of operators/hll.hll_distinct: m=64 HLL register state
+    collapsed to (v_zero, exact scaled harmonic sum, deterministic raw
+    estimate, linear-counting argument, estimator selector). ln() is
+    deliberately absent from the hashed columns — JVM Math.log and
+    libm log differ in the last ulp (measured)."""
+    body = "," + _hll_registers_cte(tier, key_col) + """
+SELECT make_timestamp(w_us) AS bucket_start, tool, role,
+    CAST(64 AS INT) AS m,
+    CAST(64 - count(*) AS INT) AS v_zero,
+    CAST(sum(1::BIGINT << (43 - max_rank))
+         + (64 - count(*)) * 8796093022208 AS BIGINT) AS s_scaled,
+    2.5544417086445452e+16
+        / CAST(sum(1::BIGINT << (43 - max_rank))
+               + (64 - count(*)) * 8796093022208 AS DOUBLE) AS raw_est,
+    CASE WHEN 64 - count(*) > 0
+         THEN 64.0 / CAST(64 - count(*) AS DOUBLE) END AS lc_arg,
+    CASE WHEN 64 - count(*) > 0
+              AND 2.5544417086445452e+16
+                  / CAST(sum(1::BIGINT << (43 - max_rank))
+                         + (64 - count(*)) * 8796093022208 AS DOUBLE)
+                  <= 160.0
+         THEN 'linear' ELSE 'raw' END AS estimator
+FROM regs GROUP BY w_us, tool, role
+"""
+    return with_transcripts(body)
+
+
+def smooth_ewma_oracle(alpha: float = 0.3) -> str:
+    """Mirror of operators/smooth.smooth_ewma: the sequential EWMA fold
+    replayed as a recursive CTE, one recursion step per point, with the
+    identical float operand order (alpha * x + omalpha * sm) so the
+    doubles match bit-for-bit. Literals are CAST to DOUBLE (DuckDB
+    parses bare decimals as DECIMAL) and omalpha is the Python-computed
+    1.0 - alpha double, not a SQL subtraction."""
+    a = repr(float(alpha))
+    om = repr(1.0 - float(alpha))
+    body = f"""
+, pts AS (
+    SELECT conv_id, tool, role, ts, value,
+        row_number() OVER (PARTITION BY conv_id, tool, role
+            ORDER BY ts, turn_idx) AS k
+    FROM transcripts WHERE value IS NOT NULL
+),
+walk AS (
+    SELECT conv_id, tool, role, ts, k, value, value AS sm
+    FROM pts WHERE k = 1
+    UNION ALL
+    SELECT p.conv_id, p.tool, p.role, p.ts, p.k, p.value,
+        CAST({a} AS DOUBLE) * p.value + CAST({om} AS DOUBLE) * w.sm AS sm
+    FROM walk w JOIN pts p ON p.conv_id = w.conv_id
+        AND p.tool = w.tool AND p.role = w.role AND p.k = w.k + 1
+)
+SELECT conv_id, tool, role, ts, value, sm AS ewma FROM walk
+"""
+    return with_transcripts(body).replace(
+        "WITH transcripts", "WITH RECURSIVE transcripts", 1
+    )
