@@ -447,6 +447,36 @@ def _q_hll_1d_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_summary(hll_merge_registers(regs_1h, "1h", "1d"))
 
 
+def _q_hll_incremental(tier: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incrementally maintained HLL distinct-conversation tier —
+        the store's third mergeable sketch face
+        (plans/cascade_store.refresh_hll_cascade): same two-phase
+        snapshot ingest as the cascade_incremental twins, with the HLL
+        day-partitions refreshed by max-merge of per-bucket 1m register
+        state derived from stored exact state — raw turns never
+        rescanned. The collapsed summary must hash-equal the DIRECT
+        from-raw computation (oracles.hll_distinct_oracle)."""
+        from streamevmon_spark.operators.hll import hll_summary
+        from streamevmon_spark.plans import cascade_store as C
+        from streamevmon_spark.plans.manifest import load_manifest
+
+        out = _cascade_store_dir(sf_dir)
+        df = load_transcripts(spark, sf_dir)
+        m = load_manifest(out)
+        if m is None or not all(
+            p.status == "done" for p in m.partitions
+        ):
+            C.run_cascade_store(
+                spark, df, out, input_path=sf_dir, stop_after=6,
+                hll=True,
+            )
+        C.run_cascade_store(spark, df, out, input_path=sf_dir, hll=True)
+        return hll_summary(C.read_hll_cascade(spark, out, tier))
+
+    return q
+
+
 def _q_smooth_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series EWMA smoothing (operators/smooth.smooth_ewma) — the
     sequential fold kernel vs the recursive-CTE replay, bit-exact."""
@@ -1600,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_1h": _q_hll_1h,
         "hll_distinct_1d_merged": _q_hll_1d_merged,
         "smooth_ewma": _q_smooth_ewma,
+        "hll_incremental_1h": _q_hll_incremental("1h"),
+        "hll_incremental_1d": _q_hll_incremental("1d"),
         # --- r03-green, kept in-window (most recently changed code) --
         # topology-graph family (reference events/grouping/graph/*):
         # traceroute paths -> vertex/edge relations -> prune + largest
@@ -1977,6 +2009,8 @@ def oracle_sql() -> dict[str, str]:
         # hash-equality IS the mergeability proof (max of maxes == max)
         "hll_distinct_1d_merged": oracles.hll_distinct_oracle("1d"),
         "smooth_ewma": oracles.smooth_ewma_oracle(0.3),
+        "hll_incremental_1h": oracles.hll_distinct_oracle("1h"),
+        "hll_incremental_1d": oracles.hll_distinct_oracle("1d"),
         "bm25_scores": docs_oracles.bm25_oracle(BM25_TERMS),
         "pii_scrub": docs_oracles.pii_scrub_oracle(PII_AUG_DUCK),
         "unigram_logprob": docs_oracles.unigram_logprob_oracle(),

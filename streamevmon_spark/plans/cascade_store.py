@@ -143,6 +143,7 @@ def run_cascade_store(
     run_id: str | None = None,
     refresh: bool = True,
     sketches: bool = False,
+    hll: bool = False,
 ) -> Manifest:
     """Ingest all pending buckets into 1m state, then incrementally
     refresh the coarse tiers for the new snapshot ranges. Resumable and
@@ -205,6 +206,10 @@ def run_cascade_store(
         refresh_cascade(spark, out_dir, coarse_tiers, manifest=manifest)
     if sketches:
         refresh_sketch_cascade(
+            spark, out_dir, coarse_tiers, manifest=manifest
+        )
+    if hll:
+        refresh_hll_cascade(
             spark, out_dir, coarse_tiers, manifest=manifest
         )
     return manifest
@@ -438,6 +443,164 @@ def refresh_sketch_cascade(
     if changed:
         save_manifest(out_dir, m)
     return refreshed
+
+
+HLL_STATE_DIR = "hll_1m"
+
+
+def _hll_state_from_exact(state: DataFrame) -> DataFrame:
+    """1m HLL register state derived from the stored exact 1m state.
+
+    A state row (conv_id, tool, role, __w_us) exists iff that series
+    had >= 1 turn in that 1m window — exactly the presence set
+    operators/hll.hll_registers sees over raw turns — so the registers
+    derived here are identical to a raw-side 1m computation, and the
+    max-merged coarse tiers are bit-identical to direct-from-raw
+    (proved by the hll_incremental_* gate queries against the direct
+    oracle). Shuffle volume: <= 64 register rows per (window, tool,
+    role) group, independent of turn count."""
+    from streamevmon_spark.functions.porthash import hex48_sql
+    from streamevmon_spark.operators.hll import M, REM_BITS
+
+    h = hex48_sql("conv_id")
+    return (
+        state.select(
+            F.col("__w_us").alias("w_us"),
+            "tool",
+            "role",
+            F.expr(f"{h} % {M}").cast("int").alias("reg"),
+            F.expr(f"{h} div {M}").alias("r"),
+        )
+        .withColumn(
+            "max_rank",
+            F.when(F.col("r") == 0, F.lit(REM_BITS + 1))
+            .otherwise(F.lit(REM_BITS + 1) - F.length(F.expr("bin(r)")))
+            .cast("int"),
+        )
+        .drop("r")
+        .groupBy("w_us", "tool", "role", "reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+
+
+def refresh_hll_cascade(
+    spark: SparkSession,
+    out_dir: str,
+    coarse_tiers: tuple[str, ...] = ("1h", "1d"),
+    manifest: Manifest | None = None,
+) -> dict[str, list[int]]:
+    """Incrementally maintain the HLL distinct-conversation register
+    tiers (the third mergeable sketch face of the store, alongside the
+    exact state and the t-digests).
+
+    Same watermark/day-partition mechanics as refresh_sketch_cascade,
+    under independent ``hll_{tier}`` manifest keys: only coarse-tier
+    day-partitions overlapped by snapshot ranges newer than the tier's
+    watermark are recomputed, by max-merge of per-bucket 1m register
+    state — raw turns are never rescanned. Missing per-bucket
+    ``hll_1m`` dirs are lazily derived from the stored exact 1m state
+    (in-place upgrade, like the sketch face)."""
+    m = manifest or load_manifest(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    done = [p for p in m.partitions if p.status == "done"]
+    refreshed: dict[str, list[int]] = {}
+    changed = False
+    for tier in coarse_tiers:
+        key = f"hll_{tier}"
+        win_us = TIERS[tier] * 1_000_000
+        entry = m.cascade.setdefault(
+            key, {"last_seq": 0, "days": [], "log": []}
+        )
+        new_parts = [p for p in done if p.seq > entry["last_seq"]]
+        refreshed[tier] = []
+        if not new_parts:
+            continue
+        days = sorted(
+            {
+                d
+                for p in new_parts
+                for d in range(
+                    p.start_us // DAY_US,
+                    (p.end_us + DAY_US - 1) // DAY_US,
+                )
+            }
+        )
+        lo_us, hi_us = days[0] * DAY_US, (days[-1] + 1) * DAY_US
+        contributing = [
+            p for p in done if p.start_us < hi_us and p.end_us > lo_us
+        ]
+        paths = []
+        for p in contributing:
+            hp = os.path.join(out_dir, HLL_STATE_DIR, p.part_id)
+            if not os.path.isdir(hp):
+                state = spark.read.parquet(
+                    os.path.join(out_dir, STATE_DIR, p.part_id)
+                )
+                _hll_state_from_exact(state).write.mode(
+                    "overwrite"
+                ).parquet(hp)
+            paths.append(hp)
+        day_set = set(days)
+        fine = (
+            spark.read.parquet(*paths)
+            .withColumn("__cday", F.expr(f"w_us div {DAY_US}"))
+            .where(F.col("__cday").isin(*day_set))
+            .drop("__cday")
+        )
+        merged = (
+            fine.withColumn(
+                "w_us", F.expr(f"(w_us div {win_us}) * {win_us}")
+            )
+            .groupBy("w_us", "tool", "role", "reg")
+            .agg(F.max("max_rank").alias("max_rank"))
+            .withColumn("__cday", F.expr(f"w_us div {DAY_US}"))
+        )
+        dest = os.path.join(out_dir, key)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__cday")
+            .parquet(dest)
+        )
+        entry["last_seq"] = max(p.seq for p in new_parts)
+        on_disk = {
+            int(n.split("=")[1])
+            for n in os.listdir(dest)
+            if n.startswith("__cday=")
+        }
+        entry["days"] = sorted((set(entry["days"]) | day_set) & on_disk)
+        entry["log"].append(
+            {"seqs": sorted(p.seq for p in new_parts), "days": days}
+        )
+        refreshed[tier] = days
+        changed = True
+    if changed:
+        save_manifest(out_dir, m)
+    return refreshed
+
+
+def read_hll_cascade(
+    spark: SparkSession, out_dir: str, tier: str
+) -> DataFrame:
+    """The continuously-maintained HLL register tier: manifest-tracked
+    day-partitions of (w_us, tool, role, reg, max_rank) — collapse with
+    operators/hll.hll_summary, estimate with hll_estimate."""
+    m = load_manifest(out_dir)
+    entry = (m.cascade if m else {}).get(f"hll_{tier}")
+    if not entry or not entry["days"]:
+        return spark.createDataFrame(
+            [],
+            "w_us long, tool string, role string, reg int, max_rank int",
+        )
+    root = os.path.join(out_dir, f"hll_{tier}")
+    return (
+        spark.read.option("basePath", root)
+        .parquet(
+            *[os.path.join(root, f"__cday={d}") for d in entry["days"]]
+        )
+        .drop("__cday")
+    )
 
 
 def read_sketch_cascade(

@@ -37,13 +37,13 @@ def stores(spark, sf_dir, tmp_path_factory):
     # phase 1: first 4 buckets, refresh; phase 2: the rest, refresh
     m1 = run_cascade_store(
         spark, df, inc, input_path=sf_dir, bucket_s=BUCKET_S,
-        stop_after=4, sketches=True,
+        stop_after=4, sketches=True, hll=True,
     )
     assert sum(p.status == "done" for p in m1.partitions) == 4
     phase1 = {t: _sorted(read_cascade(spark, inc, t)) for t in ("1h", "1d")}
     m2 = run_cascade_store(
         spark, df, inc, input_path=sf_dir, bucket_s=BUCKET_S,
-        sketches=True,
+        sketches=True, hll=True,
     )
     assert all(p.status == "done" for p in m2.partitions)
     return df, inc, phase1
@@ -180,3 +180,58 @@ def test_manifest_lineage_recorded(stores):
         assert p.rows_out.get("state_1m", 0) > 0
         assert p.turns_per_sec > 0
         assert p.hot_series
+
+
+def test_incremental_hll_equals_direct(spark, stores):
+    """Two-phase max-merged HLL register tiers == direct from-raw
+    computation (the property the hll_incremental_* gate rows
+    hash-prove vs DuckDB; here proved Spark-vs-Spark)."""
+    from streamevmon_spark.operators.hll import (
+        hll_registers,
+        hll_summary,
+    )
+    from streamevmon_spark.plans.cascade_store import read_hll_cascade
+
+    df, inc, _ = stores
+    for tier in ("1h", "1d"):
+        stored = hll_summary(read_hll_cascade(spark, inc, tier))
+        direct = hll_summary(hll_registers(df, tier))
+        assert stored.exceptAll(direct).count() == 0
+        assert direct.exceptAll(stored).count() == 0
+
+
+def test_hll_refresh_watermark_noop(spark, stores):
+    from streamevmon_spark.plans.cascade_store import (
+        refresh_hll_cascade,
+    )
+
+    _, inc, _ = stores
+    assert refresh_hll_cascade(spark, inc) == {"1h": [], "1d": []}
+
+
+def test_hll_lazy_upgrade_from_exact_state(spark, sf_dir, tmp_path):
+    """A store ingested WITHOUT the HLL face upgrades in place: the
+    refresh derives missing hll_1m dirs from stored exact state."""
+    import os
+
+    from streamevmon_spark.operators.hll import (
+        hll_registers,
+        hll_summary,
+    )
+    from streamevmon_spark.plans.cascade_store import (
+        HLL_STATE_DIR,
+        read_hll_cascade,
+        refresh_hll_cascade,
+    )
+
+    df = load_transcripts(spark, sf_dir)
+    out = str(tmp_path / "nohll")
+    run_cascade_store(
+        spark, df, out, input_path=sf_dir, bucket_s=BUCKET_S
+    )
+    assert not os.path.isdir(os.path.join(out, HLL_STATE_DIR))
+    refresh_hll_cascade(spark, out)
+    got = hll_summary(read_hll_cascade(spark, out, "1d"))
+    want = hll_summary(hll_registers(df, "1d"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
