@@ -423,6 +423,58 @@ def _q_counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counter_rate(load_transcripts(spark, sf_dir), "1h")
 
 
+def _q_cm_topk_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: top-5 conversations per 1h
+    bucket by sketch estimate (operators/cmsketch.cm_heavy_hitters) —
+    the bounded-state answer to the hot-conversation skew question,
+    exact count alongside. All-integer hashed surface."""
+    from streamevmon_spark.operators.cmsketch import cm_heavy_hitters
+
+    return cm_heavy_hitters(load_transcripts(spark, sf_dir), "1h", k=5)
+
+
+def _q_cm_topk_1d_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof as a gate row: 1d heavy hitters computed from
+    SUM-merged 1h counter state (operators/cmsketch.cm_merge_counters),
+    hash-equal to the oracle's direct from-raw 1d computation."""
+    from streamevmon_spark.operators.cmsketch import (
+        cm_counters,
+        cm_heavy_hitters,
+        cm_merge_counters,
+    )
+
+    t = load_transcripts(spark, sf_dir)
+    merged = cm_merge_counters(cm_counters(t, "1h"), "1h", "1d")
+    return cm_heavy_hitters(t, "1h", k=5, counters=merged, to_tier="1d")
+
+
+def _q_hist_quantile_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style fixed-le latency histogram per (tool, role) x 1h
+    bucket + histogram_quantile p50/p95 (operators/histo.hist_quantiles)
+    — the bounded-state companion to the exact sorted-array percentiles;
+    8 integer counters per series-bucket regardless of row count. The
+    quantile expression is ONE SQL string evaluated verbatim by both
+    engines."""
+    from streamevmon_spark.operators.histo import hist_quantiles
+
+    return hist_quantiles(load_transcripts(spark, sf_dir), "1h")
+
+
+def _q_hist_quantile_1d_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof as a gate row: 1d histogram summary computed
+    from SUM-merged 1h counter state (operators/histo.hist_merge_counters),
+    hash-equal to the oracle's direct from-raw 1d computation."""
+    from streamevmon_spark.operators.histo import (
+        hist_counters,
+        hist_merge_counters,
+        hist_summary,
+    )
+
+    t = load_transcripts(spark, sf_dir)
+    merged = hist_merge_counters(hist_counters(t, "1h"), "1h", "1d")
+    return hist_summary(merged)
+
+
 def _q_hll_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-conversation sketches per (tool, role) x 1h bucket
     (operators/hll.hll_distinct) — exact integer register state +
@@ -1585,6 +1637,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (2) + every r4 addition ------------------------------
         "downsample_lttb": _q_downsample_lttb,
         "stream_chunks_closed": _q_stream_chunks,
+        # new r4 (late): count-min sketch heavy hitters — the store's
+        # third mergeable sketch face (exact/t-digest/HLL/CM); the 1d
+        # row is computed from SUM-merged 1h counter state
+        "cm_topk_1h": _q_cm_topk_1h,
+        "cm_topk_1d_merged": _q_cm_topk_1d_merged,
+        # new r4 (late): fixed-le latency histograms + histogram_quantile
+        # — the store's fourth mergeable sketch face; the 1d row is
+        # computed from SUM-merged 1h counter state
+        "hist_quantile_1h": _q_hist_quantile_1h,
+        "hist_quantile_1d_merged": _q_hist_quantile_1d_merged,
         # new r4: M4 downsample — the fixed-time-grid pixel-exact
         # companion to LTTB (4 window argext picks, one exchange)
         "downsample_m4": _q_downsample_m4,
@@ -2008,6 +2070,14 @@ def oracle_sql() -> dict[str, str]:
         # the merged query's oracle is the DIRECT from-raw 1d sketch:
         # hash-equality IS the mergeability proof (max of maxes == max)
         "hll_distinct_1d_merged": oracles.hll_distinct_oracle("1d"),
+        "cm_topk_1h": oracles.cm_topk_oracle("1h", 5),
+        # direct from-raw 1d computation — hash-equality proves the
+        # SUM-merge (sum of sums == sum)
+        "cm_topk_1d_merged": oracles.cm_topk_oracle("1d", 5),
+        "hist_quantile_1h": oracles.hist_quantile_oracle("1h"),
+        # direct from-raw 1d computation — hash-equality proves the
+        # SUM-merge (sum of sums == sum)
+        "hist_quantile_1d_merged": oracles.hist_quantile_oracle("1d"),
         "smooth_ewma": oracles.smooth_ewma_oracle(0.3),
         "hll_incremental_1h": oracles.hll_distinct_oracle("1h"),
         "hll_incremental_1d": oracles.hll_distinct_oracle("1d"),

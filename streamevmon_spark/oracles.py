@@ -2440,3 +2440,130 @@ SELECT conv_id, tool, role, ts, value, sm AS ewma FROM walk
     return with_transcripts(body).replace(
         "WITH transcripts", "WITH RECURSIVE transcripts", 1
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (operators/cmsketch.py)
+# ---------------------------------------------------------------------------
+
+
+def cm_topk_oracle(
+    tier: str = "1h", k: int = 5, key_col: str = "conv_id"
+) -> str:
+    """Mirror of operators/cmsketch.cm_heavy_hitters: DEPTH=4 x
+    WIDTH=256 count-min counters from the portable md5 hash (row i
+    salts the key with the literal 'cm<i>|'), point estimate = min over
+    rows, top-k per bucket by (est DESC, key). Counters merge by SUM,
+    so the 1d-merged gate query shares this oracle at tier='1d' — the
+    direct-from-raw computation IS the merge's equality target.
+
+    All-integer surface: counts, min, row_number — no floats to
+    disagree on."""
+    from streamevmon_spark.functions.porthash import hex48_sql
+
+    win_us = TIERS[tier] * 1_000_000
+    depth, width = 4, 256
+
+    def col_sql(i: int) -> str:
+        h = hex48_sql(f"'cm{i}|' || {key_col}")
+        return f"CAST({h} % {width} AS INT)"
+
+    cells = "\n    UNION ALL\n".join(
+        f"    SELECT w_us, {i} AS rw, {col_sql(i)} AS cl, {key_col}"
+        f" FROM base"
+        for i in range(depth)
+    )
+    body = f"""
+, base AS (
+    SELECT (epoch_us(ts) // {win_us}) * {win_us} AS w_us, {key_col}
+    FROM transcripts
+),
+cells AS (
+{cells}
+),
+counters AS (
+    SELECT w_us, rw, cl, count(*) AS cnt FROM cells
+    GROUP BY w_us, rw, cl
+),
+exact AS (
+    SELECT w_us, {key_col}, count(*) AS exact_cnt FROM base
+    GROUP BY w_us, {key_col}
+),
+kcells AS (
+    SELECT DISTINCT w_us, {key_col}, rw, cl FROM cells
+),
+est AS (
+    SELECT kc.w_us, kc.{key_col}, min(ct.cnt) AS est
+    FROM kcells kc
+    JOIN counters ct
+      ON ct.w_us = kc.w_us AND ct.rw = kc.rw AND ct.cl = kc.cl
+    GROUP BY kc.w_us, kc.{key_col}
+),
+ranked AS (
+    SELECT e.w_us, e.{key_col}, e.est, x.exact_cnt,
+        row_number() OVER (
+            PARTITION BY e.w_us ORDER BY e.est DESC, e.{key_col}
+        ) AS rank
+    FROM est e
+    JOIN exact x ON x.w_us = e.w_us AND x.{key_col} = e.{key_col}
+)
+SELECT make_timestamp(w_us) AS bucket_start, {key_col}, est, exact_cnt,
+    CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    return with_transcripts(body)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-boundary latency histograms + histogram_quantile (operators/histo.py)
+# ---------------------------------------------------------------------------
+
+
+def hist_quantile_oracle(tier: str = "1h") -> str:
+    """Mirror of operators/histo.hist_quantiles: 8-bucket fixed-le
+    latency histogram per (tool, role) x tier bucket, p50/p95 by
+    histogram_quantile interpolation. The le-index CASE chain and the
+    quantile expression are imported from the operator module and
+    evaluated VERBATIM — textual identity is the cross-engine
+    bit-exactness argument. Counters merge by SUM, so the 1d-merged
+    gate query shares this oracle at tier='1d'."""
+    from streamevmon_spark.operators.histo import (
+        N_BUCKETS,
+        le_idx_sql,
+        quantile_sql,
+    )
+
+    win_us = TIERS[tier] * 1_000_000
+    piv_cols = ",\n        ".join(
+        f"CAST(sum(CASE WHEN le_idx = {i} THEN cnt ELSE 0 END)"
+        f" AS BIGINT) AS c{i}"
+        for i in range(N_BUCKETS)
+    )
+    total = " + ".join(f"c{i}" for i in range(N_BUCKETS))
+    c_list = ", ".join(f"c{i}" for i in range(N_BUCKETS))
+    body = f"""
+, {_LAT_CTE.strip().rstrip()},
+hc AS (
+    SELECT (epoch_us(ts) // {win_us}) * {win_us} AS w_us, tool, role,
+        CAST({le_idx_sql("lat_us")} AS INT) AS le_idx
+    FROM lat WHERE lat_us IS NOT NULL
+),
+counters AS (
+    SELECT w_us, tool, role, le_idx, count(*) AS cnt FROM hc
+    GROUP BY w_us, tool, role, le_idx
+),
+piv AS (
+    SELECT w_us, tool, role,
+        {piv_cols}
+    FROM counters GROUP BY w_us, tool, role
+),
+tot AS (
+    SELECT *, CAST({total} AS BIGINT) AS total FROM piv
+)
+SELECT make_timestamp(w_us) AS bucket_start, tool, role, total,
+    {c_list},
+    {quantile_sql(0.5)} AS p50_us,
+    {quantile_sql(0.95)} AS p95_us
+FROM tot
+"""
+    return with_transcripts(body)
