@@ -448,6 +448,58 @@ def _q_cm_topk_1d_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_heavy_hitters(t, "1h", k=5, counters=merged, to_tier="1d")
 
 
+def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters level+trend smoothing per series
+    (operators/trend.holt_winters) — the double-exponential companion
+    to smooth_ewma; sequential fold in the partition-wise kernel,
+    bit-exact vs the recursive-CTE oracle."""
+    from streamevmon_spark.operators.trend import holt_winters
+
+    return holt_winters(load_transcripts(spark, sf_dir), sf=0.3, tf=0.1)
+
+
+def _q_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1h *_over_time aggregates per point
+    (operators/trend.over_time): one RANGE frame over integer epoch-µs,
+    exact count/min/max + µs-quantized average."""
+    from streamevmon_spark.operators.trend import over_time
+
+    return over_time(load_transcripts(spark, sf_dir), range_s=3600)
+
+
+def _q_alerts_for_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style for-duration threshold alerts
+    (operators/trend.alerts_for_duration): maximal over-threshold runs
+    per series kept when they span >= 300 s; pure integer
+    gaps-and-islands."""
+    from streamevmon_spark.operators.trend import alerts_for_duration
+
+    return alerts_for_duration(
+        load_transcripts(spark, sf_dir), threshold=100.0, for_s=300
+    )
+
+
+def _q_mad_outliers_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scoring per (series, 1h bucket)
+    (operators/trend.mad_outliers): exact interpolated median + MAD
+    from sorted arrays, |x-med| > 3*MAD count — formula text generated
+    once and rendered per dialect."""
+    from streamevmon_spark.operators.trend import mad_outliers
+
+    return mad_outliers(load_transcripts(spark, sf_dir), "1h", k=3.0)
+
+
+def _q_activity_zscore_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool activity z-score vs the trailing 24h
+    (operators/trend.activity_zscore): exact integer window sums, one
+    fixed-order mean/var/z formula."""
+    from streamevmon_spark.operators.trend import activity_zscore
+
+    return activity_zscore(
+        load_transcripts(spark, sf_dir), "1h", lookback_buckets=24
+    )
+
+
 def _q_hist_quantile_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus-style fixed-le latency histogram per (tool, role) x 1h
     bucket + histogram_quantile p50/p95 (operators/histo.hist_quantiles)
@@ -1647,6 +1699,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # computed from SUM-merged 1h counter state
         "hist_quantile_1h": _q_hist_quantile_1h,
         "hist_quantile_1d_merged": _q_hist_quantile_1d_merged,
+        # new r4 (late): trend/alerting analytics — Holt-Winters
+        # smoothing, trailing range-frame over_time aggregates,
+        # for-duration threshold alerts, MAD robust outliers, per-tool
+        # activity z-scores (operators/trend.py)
+        "holt_winters": _q_holt_winters,
+        "over_time_1h": _q_over_time,
+        "alerts_for_duration": _q_alerts_for_duration,
+        "mad_outliers_1h": _q_mad_outliers_1h,
+        "activity_zscore_1h": _q_activity_zscore_1h,
         # new r4: M4 downsample — the fixed-time-grid pixel-exact
         # companion to LTTB (4 window argext picks, one exchange)
         "downsample_m4": _q_downsample_m4,
@@ -2078,6 +2139,13 @@ def oracle_sql() -> dict[str, str]:
         # direct from-raw 1d computation — hash-equality proves the
         # SUM-merge (sum of sums == sum)
         "hist_quantile_1d_merged": oracles.hist_quantile_oracle("1d"),
+        "holt_winters": oracles.holt_winters_oracle(0.3, 0.1),
+        "over_time_1h": oracles.over_time_oracle(3600),
+        "alerts_for_duration": oracles.alerts_for_duration_oracle(
+            100.0, 300
+        ),
+        "mad_outliers_1h": oracles.mad_outliers_oracle("1h", 3.0),
+        "activity_zscore_1h": oracles.activity_zscore_oracle("1h", 24),
         "smooth_ewma": oracles.smooth_ewma_oracle(0.3),
         "hll_incremental_1h": oracles.hll_distinct_oracle("1h"),
         "hll_incremental_1d": oracles.hll_distinct_oracle("1d"),

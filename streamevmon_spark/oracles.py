@@ -2567,3 +2567,191 @@ SELECT make_timestamp(w_us) AS bucket_start, tool, role, total,
 FROM tot
 """
     return with_transcripts(body)
+
+
+# ---------------------------------------------------------------------------
+# Trend / alerting analytics (operators/trend.py)
+# ---------------------------------------------------------------------------
+
+
+def holt_winters_oracle(sf: float = 0.3, tf: float = 0.1) -> str:
+    """Mirror of operators/trend.holt_winters: the sequential Holt fold
+    (level_1 = x_1, trend_1 = 0.0; level_k = sf*x + omsf*(s+b), trend_k
+    = tf*(level_k - s) + omtf*b) replayed as a recursive CTE with the
+    identical float operand order. The level expression is repeated
+    verbatim inside the trend expression — recomputing the same IEEE
+    ops yields the same double, so no lateral alias is needed."""
+    a, oa = repr(float(sf)), repr(1.0 - float(sf))
+    b, ob = repr(float(tf)), repr(1.0 - float(tf))
+    sm_new = (
+        f"(CAST({a} AS DOUBLE) * p.value"
+        f" + CAST({oa} AS DOUBLE) * (w.sm + w.tr))"
+    )
+    body = f"""
+, pts AS (
+    SELECT conv_id, tool, role, ts, value,
+        row_number() OVER (PARTITION BY conv_id, tool, role
+            ORDER BY ts, turn_idx) AS k
+    FROM transcripts WHERE value IS NOT NULL
+),
+walk AS (
+    SELECT conv_id, tool, role, ts, k, value,
+        value AS sm, CAST(0.0 AS DOUBLE) AS tr
+    FROM pts WHERE k = 1
+    UNION ALL
+    SELECT p.conv_id, p.tool, p.role, p.ts, p.k, p.value,
+        {sm_new} AS sm,
+        CAST({b} AS DOUBLE) * ({sm_new} - w.sm)
+            + CAST({ob} AS DOUBLE) * w.tr AS tr
+    FROM walk w JOIN pts p ON p.conv_id = w.conv_id
+        AND p.tool = w.tool AND p.role = w.role AND p.k = w.k + 1
+)
+SELECT conv_id, tool, role, ts, value, sm AS level, tr AS trend
+FROM walk
+"""
+    return with_transcripts(body).replace(
+        "WITH transcripts", "WITH RECURSIVE transcripts", 1
+    )
+
+
+def over_time_oracle(range_s: int = 3600) -> str:
+    """Mirror of operators/trend.over_time: one RANGE frame over the
+    integer epoch-µs order column; avg divides the exact µs-quantized
+    integer sum once (fixed operand order)."""
+    range_us = range_s * 1_000_000
+    body = f"""
+, pts AS (
+    SELECT conv_id, tool, role, ts, epoch_us(ts) AS ts_us, value,
+        CAST(floor(value * 1e6) AS BIGINT) AS val_q
+    FROM transcripts WHERE value IS NOT NULL
+)
+SELECT conv_id, tool, role, ts, value,
+    CAST(count(*) OVER w AS BIGINT) AS n_win,
+    CAST(CAST(sum(val_q) OVER w AS BIGINT) AS DOUBLE)
+        / CAST(count(*) OVER w AS DOUBLE) / 1e6 AS avg_win,
+    min(value) OVER w AS min_win,
+    max(value) OVER w AS max_win
+FROM pts
+WINDOW w AS (PARTITION BY conv_id, tool, role ORDER BY ts_us
+    RANGE BETWEEN {range_us} PRECEDING AND CURRENT ROW)
+"""
+    return with_transcripts(body)
+
+
+def alerts_for_duration_oracle(
+    threshold: float = 100.0, for_s: int = 300
+) -> str:
+    """Mirror of operators/trend.alerts_for_duration: gaps-and-islands
+    over the stable (ts, turn_idx) order; NULL values break a run;
+    islands kept when the µs span >= for_s."""
+    thr = f"CAST({float(threshold)!r} AS DOUBLE)"
+    for_us = for_s * 1_000_000
+    body = f"""
+, pts AS (
+    SELECT conv_id, tool, role, ts, turn_idx, epoch_us(ts) AS ts_us,
+        (value IS NOT NULL AND value > {thr}) AS over_thr,
+        row_number() OVER (PARTITION BY conv_id, tool, role
+            ORDER BY ts, turn_idx) AS rn,
+        row_number() OVER (PARTITION BY conv_id, tool, role,
+            (value IS NOT NULL AND value > {thr})
+            ORDER BY ts, turn_idx) AS rnf
+    FROM transcripts
+),
+runs AS (
+    SELECT conv_id, tool, role, rn - rnf AS grp,
+        min(ts_us) AS start_us, max(ts_us) AS end_us,
+        CAST(count(*) AS BIGINT) AS n_points
+    FROM pts WHERE over_thr
+    GROUP BY conv_id, tool, role, rn - rnf
+    HAVING max(ts_us) - min(ts_us) >= {for_us}
+)
+SELECT conv_id, tool, role,
+    make_timestamp(start_us) AS start_ts,
+    make_timestamp(end_us) AS end_ts,
+    make_timestamp(start_us + {for_us}) AS fire_ts,
+    n_points,
+    CAST(end_us - start_us AS DOUBLE) / 1e6 AS duration_s
+FROM runs
+"""
+    return with_transcripts(body)
+
+
+def mad_outliers_oracle(tier: str = "1h", k: float = 3.0) -> str:
+    """Mirror of operators/trend.mad_outliers: exact sorted-array
+    medians with the interpolation arithmetic generated by the SAME
+    Python formula builder the Spark side uses (trend._median_from_
+    sorted) — only the array accessors differ per dialect."""
+    from streamevmon_spark.operators.trend import median_sql_duckdb
+
+    win_us = TIERS[tier] * 1_000_000
+    med = median_sql_duckdb("varr")
+    mad = median_sql_duckdb("darr")
+    kd = f"CAST({float(k)!r} AS DOUBLE)"
+    body = f"""
+, pts AS (
+    SELECT conv_id, tool, role,
+        (epoch_us(ts) // {win_us}) * {win_us} AS w_us, value
+    FROM transcripts WHERE value IS NOT NULL
+),
+g1 AS (
+    SELECT w_us, conv_id, tool, role,
+        list_sort(list(value)) AS varr
+    FROM pts GROUP BY w_us, conv_id, tool, role
+),
+g2 AS (
+    SELECT *, {med} AS med FROM g1
+),
+g3 AS (
+    SELECT *, list_sort(list_transform(varr, x -> abs(x - med))) AS darr
+    FROM g2
+)
+SELECT make_timestamp(w_us) AS bucket_start, conv_id, tool, role,
+    CAST(len(varr) AS BIGINT) AS n,
+    med,
+    {mad} AS mad,
+    CAST(len(list_filter(darr, d -> d > {kd} * ({mad}))) AS BIGINT)
+        AS outlier_cnt
+FROM g3
+"""
+    return with_transcripts(body)
+
+
+def activity_zscore_oracle(
+    tier: str = "1h", lookback_buckets: int = 24
+) -> str:
+    """Mirror of operators/trend.activity_zscore: exact integer window
+    sums over the per-tool bucket relation, one fixed-order mean/var/z
+    formula, var <= 0 -> NULL."""
+    win_us = TIERS[tier] * 1_000_000
+    span_us = (lookback_buckets - 1) * win_us
+    mean = "(CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))"
+    var = (
+        f"((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * {mean})"
+        " / CAST(nb AS DOUBLE))"
+    )
+    z = (
+        f"CASE WHEN {var} <= 0.0 THEN CAST(NULL AS DOUBLE)"
+        f" ELSE (CAST(c AS DOUBLE) - {mean}) / sqrt({var}) END"
+    )
+    body = f"""
+, buckets AS (
+    SELECT tool, (epoch_us(ts) // {win_us}) * {win_us} AS w_us,
+        CAST(count(*) AS BIGINT) AS c
+    FROM transcripts GROUP BY tool, (epoch_us(ts) // {win_us}) * {win_us}
+),
+stats AS (
+    SELECT tool, w_us, c,
+        CAST(count(*) OVER w AS BIGINT) AS nb,
+        CAST(sum(c) OVER w AS BIGINT) AS s1,
+        CAST(sum(c * c) OVER w AS BIGINT) AS s2
+    FROM buckets
+    WINDOW w AS (PARTITION BY tool ORDER BY w_us
+        RANGE BETWEEN {span_us} PRECEDING AND CURRENT ROW)
+)
+SELECT make_timestamp(w_us) AS bucket_start, tool, c, nb,
+    {mean} AS mean_c,
+    {var} AS var_c,
+    {z} AS zscore
+FROM stats
+"""
+    return with_transcripts(body)
