@@ -448,6 +448,16 @@ def _q_cm_topk_1d_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_heavy_hitters(t, "1h", k=5, counters=merged, to_tier="1d")
 
 
+def _q_realtime_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-routing range read (operators/tier_router.realtime_range_agg):
+    the 13%..87% minute-range answered by stitching 1d interior + 1h/1m
+    edge tier state — raw never rescanned past the 1m build — vs the
+    oracle's direct raw range scan; percentiles included in the hash."""
+    from streamevmon_spark.operators.tier_router import realtime_range_agg
+
+    return realtime_range_agg(load_transcripts(spark, sf_dir))
+
+
 def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters level+trend smoothing per series
     (operators/trend.holt_winters) — the double-exponential companion
@@ -1703,6 +1713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # smoothing, trailing range-frame over_time aggregates,
         # for-duration threshold alerts, MAD robust outliers, per-tool
         # activity z-scores (operators/trend.py)
+        # new r4 (late): tier-routing range read — the continuous-
+        # aggregate READ path (interior days from 1d state, edge hours
+        # from 1h, edge minutes from 1m; exact incl. percentiles)
+        "realtime_range_agg": _q_realtime_range_agg,
         "holt_winters": _q_holt_winters,
         "over_time_1h": _q_over_time,
         "alerts_for_duration": _q_alerts_for_duration,
@@ -2139,6 +2153,9 @@ def oracle_sql() -> dict[str, str]:
         # direct from-raw 1d computation — hash-equality proves the
         # SUM-merge (sum of sums == sum)
         "hist_quantile_1d_merged": oracles.hist_quantile_oracle("1d"),
+        # direct raw-range-scan oracle: a different computation path
+        # than the stitched tier read it checks
+        "realtime_range_agg": oracles.realtime_range_agg_oracle(),
         "holt_winters": oracles.holt_winters_oracle(0.3, 0.1),
         "over_time_1h": oracles.over_time_oracle(3600),
         "alerts_for_duration": oracles.alerts_for_duration_oracle(

@@ -2755,3 +2755,70 @@ SELECT make_timestamp(w_us) AS bucket_start, tool, c, nb,
 FROM stats
 """
     return with_transcripts(body)
+
+
+# ---------------------------------------------------------------------------
+# Tier-routing range reads (operators/tier_router.py)
+# ---------------------------------------------------------------------------
+
+
+def realtime_range_agg_oracle() -> str:
+    """Independent-path oracle for operators/tier_router.
+    realtime_range_agg: a DIRECT raw range scan + one aggregate —
+    no tiers, no stitching — over the same deterministic 13%..87%
+    minute-range (integer arithmetic identical to
+    tier_router.default_range_us). Hash-equality against the stitched
+    multi-tier read is the router's exactness proof, percentiles
+    included."""
+    p50 = _pct_from_sorted("lat_arr", 0.5)
+    p95 = _pct_from_sorted("lat_arr", 0.95)
+    p99 = _pct_from_sorted("lat_arr", 0.99)
+    body = f"""
+, {_LAT_CTE},
+b AS (
+    SELECT (min(epoch_us(ts)) // 60000000) + 1 AS lo_min,
+           (max(epoch_us(ts)) // 60000000) AS hi_min
+    FROM transcripts
+),
+bounds AS (
+    SELECT (lo_min + ((hi_min - lo_min) * 13) // 100) * 60000000 AS t0,
+           (lo_min + ((hi_min - lo_min) * 87) // 100) * 60000000 AS t1
+    FROM b
+),
+rng AS (
+    SELECT l.* FROM lat l, bounds
+    WHERE epoch_us(l.ts) >= bounds.t0 AND epoch_us(l.ts) < bounds.t1
+),
+g AS (
+    SELECT conv_id, tool, role,
+        count(*) AS turn_count,
+        CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS lossy_count,
+        CAST(sum(lat_us) AS BIGINT) AS lat_sum,
+        count(lat_us) AS lat_cnt,
+        min(lat_us) AS lat_min_us,
+        max(lat_us) AS lat_max_us,
+        list_sort(list(lat_us) FILTER (WHERE lat_us IS NOT NULL))
+            AS lat_arr,
+        CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+            AS val_sum,
+        count(value) AS val_cnt
+    FROM rng GROUP BY conv_id, tool, role
+)
+SELECT conv_id, tool, role,
+    make_timestamp(bounds.t0) AS range_start,
+    make_timestamp(bounds.t1) AS range_end,
+    turn_count,
+    lossy_count,
+    CAST(lat_sum AS DOUBLE) / CAST(lat_cnt AS DOUBLE) / 1e6 AS lat_avg,
+    CAST(lat_min_us AS DOUBLE) / 1e6 AS lat_min,
+    CAST(lat_max_us AS DOUBLE) / 1e6 AS lat_max,
+    {p50} AS lat_p50,
+    {p95} AS lat_p95,
+    {p99} AS lat_p99,
+    CAST(val_sum AS DOUBLE) / CAST(val_cnt AS DOUBLE) / 1e6 AS val_avg,
+    CAST(turn_count AS DOUBLE)
+        / (CAST(bounds.t1 - bounds.t0 AS DOUBLE) / 1e6) AS activity_rate
+FROM g, bounds
+"""
+    return with_transcripts(body)
