@@ -458,6 +458,34 @@ def _q_realtime_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return realtime_range_agg(load_transcripts(spark, sf_dir))
 
 
+def _q_chunk_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range read served from the COMPRESSED store
+    (operators/chunks.chunk_range_read): raw points → Gorilla+DoD chunk
+    blobs → metadata-pruned decode of only range-overlapping chunks →
+    per-series aggregate, vs the oracle's direct raw range scan.
+    Bit-exact codec round-trip is what makes the hash match."""
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.chunks import (
+        chunk_range_read,
+        compress_chunks,
+    )
+    from streamevmon_spark.operators.rollup import EPOCH_NTZ, SERIES_KEY
+    from streamevmon_spark.operators.tier_router import default_range_us
+
+    t = load_transcripts(spark, sf_dir)
+    pts = t.select(
+        *SERIES_KEY,
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("ts_us"),
+        "value",
+    )
+    row = pts.select(
+        F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")
+    ).collect()[0]
+    t0, t1 = default_range_us(row.mn, row.mx)
+    return chunk_range_read(compress_chunks(pts, "1d"), t0, t1)
+
+
 def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters level+trend smoothing per series
     (operators/trend.holt_winters) — the double-exponential companion
@@ -1717,6 +1745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregate READ path (interior days from 1d state, edge hours
         # from 1h, edge minutes from 1m; exact incl. percentiles)
         "realtime_range_agg": _q_realtime_range_agg,
+        # new r4 (late): range read from the compressed chunk store —
+        # only range-overlapping chunks are decoded (metadata prune
+        # below the decode mapInPandas)
+        "chunk_range_read": _q_chunk_range_read,
         "holt_winters": _q_holt_winters,
         "over_time_1h": _q_over_time,
         "alerts_for_duration": _q_alerts_for_duration,
@@ -2156,6 +2188,9 @@ def oracle_sql() -> dict[str, str]:
         # direct raw-range-scan oracle: a different computation path
         # than the stitched tier read it checks
         "realtime_range_agg": oracles.realtime_range_agg_oracle(),
+        # direct raw-range-scan oracle; the Spark side answered from
+        # decoded Gorilla/DoD blobs
+        "chunk_range_read": oracles.chunk_range_read_oracle(),
         "holt_winters": oracles.holt_winters_oracle(0.3, 0.1),
         "over_time_1h": oracles.over_time_oracle(3600),
         "alerts_for_duration": oracles.alerts_for_duration_oracle(

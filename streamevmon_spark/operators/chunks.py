@@ -214,3 +214,74 @@ def chunk_table(
         "chunk_start",
         F.expr(f"timestampadd(MICROSECOND, chunk_us, {EPOCH_NTZ})"),
     )
+
+
+def chunk_range_read(
+    chunks: DataFrame,
+    t0_us: int,
+    t1_us: int,
+    chunk_tier: str = "1d",
+) -> DataFrame:
+    """Exact per-series aggregate over [t0_us, t1_us) served ENTIRELY
+    from the compressed chunk store — the read half of the north rule's
+    "Gorilla XOR + delta-of-delta ... stored as blob columns" (the
+    write half is compress_chunks/chunk_table). The reference reads its
+    stored series back per retention policy for detector replay
+    (reference: influx/InfluxHistoryConnection.scala:45-90); here the
+    stored form is compressed blobs and the range read must still be
+    bit-exact.
+
+    Scale shape: the ONLY rows decoded are chunks whose
+    [chunk_us, chunk_us + width) interval overlaps the range — two
+    integer range predicates on the chunk_us metadata column, evaluated
+    BELOW the decode mapInPandas, so a parquet-backed chunk table
+    prunes at row-group/partition level and a year-long store serves a
+    one-day range by decoding one chunk per series (plan-shape asserted
+    in tests/test_chunks.py). Decode is the existing whole-batch
+    vectorized kernel; the point-level [t0, t1) trim after decode only
+    pays on the two edge chunks' points.
+
+    Exactness: Gorilla round-trips float64 (incl. the NaN lossy
+    sentinel) bit-exactly and delta-of-delta round-trips int64 µs, so
+    count/min/max/µs-quantized sums over decoded points equal the same
+    aggregates over raw points — the driver oracle recomputes them from
+    the raw table in DuckDB and hash-equality is the proof.
+    """
+    if not t0_us < t1_us:
+        raise ValueError("empty range")
+    chunk_w = TIERS[chunk_tier] * 1_000_000
+    lo_chunk = (t0_us // chunk_w) * chunk_w
+    pruned = chunks.where(
+        (F.col("chunk_us") >= F.lit(lo_chunk))
+        & (F.col("chunk_us") < F.lit(t1_us))
+    )
+    pts = decompress_chunks(
+        pruned.select(
+            *SERIES_KEY, "chunk_us", "n_points", "ts_dod", "values_gorilla"
+        )
+    ).where((F.col("ts_us") >= F.lit(t0_us)) & (F.col("ts_us") < F.lit(t1_us)))
+    # NaN is the in-chunk lossy sentinel (raw NULL → NaN at encode).
+    # The Arrow boundary in mapInPandas maps float NaN back to NULL,
+    # but that is a serializer detail — treat NaN and NULL as the same
+    # lossy class so the aggregate is correct either way (Spark orders
+    # NaN ABOVE all reals, so a bare max() would otherwise poison any
+    # lossy series).
+    lossy = F.col("value").isNull() | F.isnan("value")
+    val = F.when(~lossy, F.col("value"))
+    return pts.groupBy(*SERIES_KEY).agg(
+        F.count(F.lit(1)).alias("point_count"),
+        F.sum(lossy.cast("long")).alias("lossy_count"),
+        (
+            F.sum(F.floor(val * 1e6)).cast("double")
+            / F.count(val).cast("double")
+            / F.lit(1e6)
+        ).alias("val_avg"),
+        F.min(val).alias("val_min"),
+        F.max(val).alias("val_max"),
+        F.expr(
+            f"timestampadd(MICROSECOND, min(ts_us), {EPOCH_NTZ})"
+        ).alias("ts_first"),
+        F.expr(
+            f"timestampadd(MICROSECOND, max(ts_us), {EPOCH_NTZ})"
+        ).alias("ts_last"),
+    )

@@ -2822,3 +2822,43 @@ SELECT conv_id, tool, role,
 FROM g, bounds
 """
     return with_transcripts(body)
+
+
+def chunk_range_read_oracle() -> str:
+    """Independent-path oracle for operators/chunks.chunk_range_read:
+    a DIRECT raw range scan + per-series aggregate — no compression,
+    no chunk pruning — over the same deterministic 13%..87%
+    minute-range (integer arithmetic identical to
+    tier_router.default_range_us). Hash-equality proves the Gorilla +
+    delta-of-delta round-trip AND the chunk-overlap prune lose
+    nothing."""
+    body = """
+, b AS (
+    SELECT (min(epoch_us(ts)) // 60000000) + 1 AS lo_min,
+           (max(epoch_us(ts)) // 60000000) AS hi_min
+    FROM transcripts
+),
+bounds AS (
+    SELECT (lo_min + ((hi_min - lo_min) * 13) // 100) * 60000000 AS t0,
+           (lo_min + ((hi_min - lo_min) * 87) // 100) * 60000000 AS t1
+    FROM b
+),
+rng AS (
+    SELECT t.conv_id, t.tool, t.role, epoch_us(t.ts) AS us, t.value
+    FROM transcripts t, bounds
+    WHERE epoch_us(t.ts) >= bounds.t0 AND epoch_us(t.ts) < bounds.t1
+)
+SELECT conv_id, tool, role,
+    count(*) AS point_count,
+    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS lossy_count,
+    CAST(CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+            AS DOUBLE)
+        / CAST(count(value) AS DOUBLE) / 1e6 AS val_avg,
+    min(value) AS val_min,
+    max(value) AS val_max,
+    make_timestamp(min(us)) AS ts_first,
+    make_timestamp(max(us)) AS ts_last
+FROM rng GROUP BY conv_id, tool, role
+"""
+    return with_transcripts(body)

@@ -136,3 +136,77 @@ def test_cascade_sketch_close_to_direct(spark, sf_dir):
     ok = m.dropna()
     rel = np.abs(ok["q50_v"] - ok["q50_d"]) / np.maximum(ok["q50_d"], 1e-9)
     assert rel.median() < 0.1
+
+
+def test_chunk_range_read_matches_direct_point_filter(spark, sf_dir):
+    from streamevmon_spark.operators.chunks import chunk_range_read
+    from streamevmon_spark.operators.tier_router import default_range_us
+
+    df = load_transcripts(spark, sf_dir)
+    points = df.select(
+        "conv_id", "tool", "role",
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("ts_us"),
+        "value",
+    )
+    row = points.select(
+        F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")
+    ).collect()[0]
+    t0, t1 = default_range_us(row.mn, row.mx)
+    chunks = compress_chunks(points, "1d")
+    got = (
+        chunk_range_read(chunks, t0, t1)
+        .orderBy("conv_id", "tool", "role")
+        .toPandas()
+    )
+    # direct twin: no compression at all, same aggregate over raw points
+    rng = points.where((F.col("ts_us") >= t0) & (F.col("ts_us") < t1))
+    lossy = F.col("value").isNull()
+    exp = (
+        rng.groupBy("conv_id", "tool", "role")
+        .agg(
+            F.count(F.lit(1)).alias("point_count"),
+            F.sum(lossy.cast("long")).alias("lossy_count"),
+            (F.sum(F.floor(F.col("value") * 1e6)).cast("double")
+             / F.count("value").cast("double") / F.lit(1e6)).alias("val_avg"),
+            F.min("value").alias("val_min"),
+            F.max("value").alias("val_max"),
+            F.expr(
+                f"timestampadd(MICROSECOND, min(ts_us), {EPOCH_NTZ})"
+            ).alias("ts_first"),
+            F.expr(
+                f"timestampadd(MICROSECOND, max(ts_us), {EPOCH_NTZ})"
+            ).alias("ts_last"),
+        )
+        .orderBy("conv_id", "tool", "role")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
+
+
+def test_chunk_range_read_prunes_before_decode(spark, sf_dir):
+    """The chunk_us range predicates must sit BELOW the decode
+    mapInPandas (on the chunk relation), so a stored chunk table only
+    ever decodes overlapping chunks."""
+    from streamevmon_spark.operators.chunks import chunk_range_read
+
+    df = load_transcripts(spark, sf_dir)
+    points = df.select(
+        "conv_id", "tool", "role",
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("ts_us"),
+        "value",
+    )
+    chunks = compress_chunks(points, "1d")
+    day = 86_400_000_000
+    lo = (1_704_067_200_000_000 // day) * day + day  # second day
+    plan = chunk_range_read(chunks, lo, lo + day)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # the prune filter references chunk_us, and it appears under (after,
+    # in plan text order) the decode MapInPandas node
+    decode_at = plan.find("mapInPandas")
+    if decode_at == -1:
+        decode_at = plan.find("MapInPandas")
+    filt_at = plan.find("chunk_us")
+    assert decode_at != -1 and filt_at != -1
+    assert filt_at > decode_at, plan
