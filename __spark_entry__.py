@@ -458,6 +458,28 @@ def _q_realtime_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return realtime_range_agg(load_transcripts(spark, sf_dir))
 
 
+def _q_realtime_range_agg_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-tier form of the range read: all three tier states are
+    materialized (1m → 1h → 1d hierarchical merges, the cascade store's
+    exact schema) and the router reads each segment DIRECTLY from its
+    tier — interior days are single stored rows, no re-aggregation.
+    Same raw-range-scan oracle as realtime_range_agg: two engine paths,
+    one truth."""
+    from streamevmon_spark.operators.tier_router import (
+        DAY_US,
+        HOUR_US,
+        _state_1m,
+        realtime_range_agg,
+    )
+    from streamevmon_spark.plans.cascade_store import _merge_state
+
+    t = load_transcripts(spark, sf_dir)
+    m1 = _state_1m(t)
+    h1 = _merge_state(m1, HOUR_US)
+    d1 = _merge_state(h1, DAY_US)
+    return realtime_range_agg(t, state_1m=m1, state_1h=h1, state_1d=d1)
+
+
 def _q_chunk_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range read served from the COMPRESSED store
     (operators/chunks.chunk_range_read): raw points → Gorilla+DoD chunk
@@ -1749,6 +1771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # only range-overlapping chunks are decoded (metadata prune
         # below the decode mapInPandas)
         "chunk_range_read": _q_chunk_range_read,
+        # new r4 (late): same range, answered from STORED 1m/1h/1d tier
+        # rows read directly per segment
+        "realtime_range_agg_tiers": _q_realtime_range_agg_tiers,
         "holt_winters": _q_holt_winters,
         "over_time_1h": _q_over_time,
         "alerts_for_duration": _q_alerts_for_duration,
@@ -2191,6 +2216,9 @@ def oracle_sql() -> dict[str, str]:
         # direct raw-range-scan oracle; the Spark side answered from
         # decoded Gorilla/DoD blobs
         "chunk_range_read": oracles.chunk_range_read_oracle(),
+        # same direct raw-range-scan oracle as realtime_range_agg — the
+        # Spark side reads stored tier rows instead
+        "realtime_range_agg_tiers": oracles.realtime_range_agg_oracle(),
         "holt_winters": oracles.holt_winters_oracle(0.3, 0.1),
         "over_time_1h": oracles.over_time_oracle(3600),
         "alerts_for_duration": oracles.alerts_for_duration_oracle(

@@ -148,19 +148,36 @@ def _state_1m(transcripts: DataFrame) -> DataFrame:
     )
 
 
+_STATE_COLS = [
+    "turn_count", "lossy_count", "__lat_sum", "__lat_cnt", "__lat_min",
+    "__lat_max", "__lat_arr", "__val_sum", "__val_cnt",
+]
+
+
 def realtime_range_agg(
     transcripts: DataFrame,
     t0_us: int | None = None,
     t1_us: int | None = None,
     state_1m: DataFrame | None = None,
+    state_1h: DataFrame | None = None,
+    state_1d: DataFrame | None = None,
 ) -> DataFrame:
     """One aggregate row per series over [t0_us, t1_us), stitched from
-    tier state along the cover_plan decomposition. ``state_1m`` lets a
-    caller supply the STORED 1m state (plans/cascade_store.py) so the
-    read never touches raw; by default it is derived in-memory from
-    ``transcripts`` (the gate-query form — the stitch semantics are
-    identical either way)."""
-    spark = transcripts.sparkSession
+    tier state along the cover_plan decomposition.
+
+    ``state_1m``/``state_1h``/``state_1d`` let a caller supply STORED
+    tier state (plans/cascade_store.py — same mergeable schema): a
+    segment whose tier state is provided reads its rows DIRECTLY (a
+    range filter on ``__w_us``, no re-aggregation), so with all three
+    tiers stored the whole read is filter + one final merge —
+    O(interior days + ≤48 h-rows + ≤120 m-rows) per series, raw never
+    touched. Missing tiers are derived from the finest state by ONE
+    CASE-routed merge (not a per-segment union — each 1m row maps to
+    exactly one segment's window, so a single groupBy covers every
+    derived segment without rescanning the 1m build per branch). By
+    default 1m state is derived in-memory from ``transcripts`` (the
+    gate-query form — the stitch semantics are identical either way).
+    """
     if t0_us is None or t1_us is None:
         row = transcripts.select(
             F.min(F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)")).alias(
@@ -172,27 +189,44 @@ def realtime_range_agg(
         ).collect()[0]
         t0_us, t1_us = default_range_us(row.mn, row.mx)
     segs = cover_plan(t0_us, t1_us)
-    m1 = (state_1m if state_1m is not None else _state_1m(transcripts))
-    # All segments live inside the range: one prune first, then each
-    # segment filter is a range predicate on the integer window column.
-    m1 = m1.where(
-        (F.col("__w_us") >= F.lit(t0_us)) & (F.col("__w_us") < F.lit(t1_us))
-    )
+    base = state_1m if state_1m is not None else _state_1m(transcripts)
+    stored = {"1m": base, "1h": state_1h, "1d": state_1d}
+    sel = [*SERIES_KEY, "__w_us", *_STATE_COLS]
     parts: list[DataFrame] = []
+    derived: list[tuple[str, int, int]] = []
     for tier, lo, hi in segs:
-        seg = m1.where(
-            (F.col("__w_us") >= F.lit(lo)) & (F.col("__w_us") < F.lit(hi))
-        )
-        if tier != "1m":
-            win_us = _TIER_US[tier]
-            seg = (
-                seg.withColumn(
-                    "__w_up", F.expr(f"(__w_us div {win_us}) * {win_us}")
-                )
-                .groupBy(*SERIES_KEY, F.col("__w_up").alias("__w_us"))
-                .agg(*_merge_aggs())
+        st = stored[tier]
+        if st is not None:
+            parts.append(
+                st.where(
+                    (F.col("__w_us") >= F.lit(lo))
+                    & (F.col("__w_us") < F.lit(hi))
+                ).select(*sel)
             )
-        parts.append(seg)
+        else:
+            derived.append((tier, lo, hi))
+    if derived:
+        # one pass over the finest state: route each row to its
+        # segment's window with a chained CASE, merge in one groupBy
+        in_any = None
+        route = None
+        for tier, lo, hi in derived:
+            cond = (F.col("__w_us") >= F.lit(lo)) & (
+                F.col("__w_us") < F.lit(hi)
+            )
+            in_any = cond if in_any is None else (in_any | cond)
+            win_us = _TIER_US[tier]
+            up = F.expr(f"(__w_us div {win_us}) * {win_us}")
+            route = (
+                F.when(cond, up) if route is None else route.when(cond, up)
+            )
+        parts.append(
+            base.where(in_any)
+            .withColumn("__w_route", route)
+            .groupBy(*SERIES_KEY, F.col("__w_route").alias("__w_us"))
+            .agg(*_merge_aggs())
+            .select(*sel)
+        )
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)

@@ -149,3 +149,55 @@ def test_range_read_from_stored_state(spark, tmp_path):
     a = sorted(map(tuple, from_store.collect()))
     b = sorted(map(tuple, from_raw.collect()))
     assert a == b and len(a) > 0
+
+
+def test_stored_tier_read_matches_derived(spark):
+    """With all three tiers stored, every segment reads its rows
+    DIRECTLY from tier state — result identical to the derive-from-1m
+    form (and, transitively, to the driver's raw-scan oracle)."""
+    from streamevmon_spark.operators.tier_router import _state_1m
+    from streamevmon_spark.plans.cascade_store import _merge_state
+
+    df = generate_transcripts(spark, n_turns=20_000, n_convs=20)
+    row = df.select(
+        F.min(F.expr(
+            "datediff(MICROSECOND, timestamp_ntz'1970-01-01', ts)"
+        )).alias("mn"),
+        F.max(F.expr(
+            "datediff(MICROSECOND, timestamp_ntz'1970-01-01', ts)"
+        )).alias("mx"),
+    ).collect()[0]
+    t0, t1 = default_range_us(row.mn, row.mx)
+    m1 = _state_1m(df).localCheckpoint()
+    h1 = _merge_state(m1, HOUR_US).localCheckpoint()
+    d1 = _merge_state(h1, DAY_US).localCheckpoint()
+    via_tiers = realtime_range_agg(
+        df, t0, t1, state_1m=m1, state_1h=h1, state_1d=d1
+    ).toPandas()
+    derived = realtime_range_agg(df, t0, t1).toPandas()
+    key = ["conv_id", "tool", "role"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        via_tiers.sort_values(key, ignore_index=True),
+        derived.sort_values(key, ignore_index=True),
+    )
+
+
+def test_stored_tier_read_plan_has_no_reaggregation_of_1d(spark):
+    """When the 1d tier is stored, interior-day rows must NOT pass
+    through a merge aggregate: the plan's only Aggregates are the final
+    series merge (and the derived-edge merge when 1h is absent)."""
+    from streamevmon_spark.operators.tier_router import _state_1m
+    from streamevmon_spark.plans.cascade_store import _merge_state
+
+    df = generate_transcripts(spark, n_turns=5_000, n_convs=5)
+    m1 = _state_1m(df).localCheckpoint()
+    h1 = _merge_state(m1, HOUR_US).localCheckpoint()
+    d1 = _merge_state(h1, DAY_US).localCheckpoint()
+    t0, t1 = DAY_US, 3 * DAY_US  # purely interior days
+    plan = realtime_range_agg(
+        df, t0, t1, state_1m=m1, state_1h=h1, state_1d=d1
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # one Aggregate only: the final per-series merge
+    assert plan.count("Aggregate") == 1, plan
