@@ -480,6 +480,23 @@ def _q_realtime_range_agg_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return realtime_range_agg(t, state_1m=m1, state_1h=h1, state_1d=d1)
 
 
+def _q_realtime_range_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-faced range read (operators/tier_router.
+    realtime_range_sketch): t-digest blobs merged along the cover_plan
+    — the gate hashes the digest's EXACT face (total weight, min/max
+    round-tripped through the blob) against a direct raw range scan;
+    quantile error is bounded in pytest."""
+    from streamevmon_spark.operators.tier_router import (
+        realtime_range_sketch,
+    )
+
+    out = realtime_range_sketch(load_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id", "tool", "role", "range_start", "range_end",
+        "lat_count", "lat_min_us", "lat_max_us",
+    )
+
+
 def _q_chunk_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range read served from the COMPRESSED store
     (operators/chunks.chunk_range_read): raw points → Gorilla+DoD chunk
@@ -1774,6 +1791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r4 (late): same range, answered from STORED 1m/1h/1d tier
         # rows read directly per segment
         "realtime_range_agg_tiers": _q_realtime_range_agg_tiers,
+        # new r4 (late): sketch-faced range read — exact face hashed,
+        # quantile error pytest-bounded
+        "realtime_range_sketch": _q_realtime_range_sketch,
         "holt_winters": _q_holt_winters,
         "over_time_1h": _q_over_time,
         "alerts_for_duration": _q_alerts_for_duration,
@@ -2219,6 +2239,8 @@ def oracle_sql() -> dict[str, str]:
         # same direct raw-range-scan oracle as realtime_range_agg — the
         # Spark side reads stored tier rows instead
         "realtime_range_agg_tiers": oracles.realtime_range_agg_oracle(),
+        # exact-face oracle: count/min/max of lat_us over the raw range
+        "realtime_range_sketch": oracles.realtime_range_sketch_oracle(),
         "holt_winters": oracles.holt_winters_oracle(0.3, 0.1),
         "over_time_1h": oracles.over_time_oracle(3600),
         "alerts_for_duration": oracles.alerts_for_duration_oracle(

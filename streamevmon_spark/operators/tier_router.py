@@ -261,3 +261,134 @@ def realtime_range_agg(
             "activity_rate"
         ),
     )
+
+
+def realtime_range_sketch(
+    transcripts: DataFrame,
+    t0_us: int | None = None,
+    t1_us: int | None = None,
+    sk_1m: DataFrame | None = None,
+    sk_1h: DataFrame | None = None,
+    sk_1d: DataFrame | None = None,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """The SKETCH-faced twin of realtime_range_agg: one t-digest per
+    series over [t0_us, t1_us), merged from tier sketch blobs
+    (operators/sketch_rollup.py) along the same cover_plan
+    decomposition — the production ad-hoc-percentile read at 10^12
+    turns, where a hot series' exact latency array for a long range
+    does not fit a task (the same motivation as rollup_tier_guarded's
+    bounded state).
+
+    Stored tier sketches (``sk_1h``/``sk_1d``) are read directly —
+    a range filter on ``window_start_us``, interior days one blob per
+    series; segments without stored state fall back to the 1m blobs
+    (flat merge — t-digest merging is order-sensitive, so the final
+    per-series merge always consumes blobs in canonical sorted-bytes
+    order, making the result deterministic for any segment mix).
+
+    Output carries the digest's EXACT face (total weight = lat count,
+    vmin/vmax — maintained exactly through every merge) plus the
+    approximate quantiles. The driver gate hashes the exact face
+    against a raw-range-scan oracle; quantile error is bounded in
+    tests/test_tier_router.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from streamevmon_spark.operators._partitionwise import (
+        group_starts,
+        partitionwise_apply,
+    )
+    from streamevmon_spark.operators.sketch_rollup import sketch_tier
+
+    if t0_us is None or t1_us is None:
+        row = transcripts.select(
+            F.min(F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)")).alias(
+                "mn"
+            ),
+            F.max(F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)")).alias(
+                "mx"
+            ),
+        ).collect()[0]
+        t0_us, t1_us = default_range_us(row.mn, row.mx)
+    segs = cover_plan(t0_us, t1_us)
+    base = sk_1m if sk_1m is not None else sketch_tier(transcripts, "1m")
+    stored = {"1m": base, "1h": sk_1h, "1d": sk_1d}
+    sel = [*SERIES_KEY, "latency_tdigest"]
+    parts = []
+    for tier, lo, hi in segs:
+        src = stored[tier]
+        if src is None:
+            src = base
+        parts.append(
+            src.where(
+                (F.col("window_start_us") >= F.lit(lo))
+                & (F.col("window_start_us") < F.lit(hi))
+            ).select(*sel)
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+
+    qcols = [f"lat_p{int(q * 100)}" for q in quantiles]
+    schema = (
+        "conv_id string, tool string, role string, lat_count long, "
+        "lat_min_us double, lat_max_us double, "
+        + ", ".join(f"{c} double" for c in qcols)
+    )
+
+    def merge_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        from streamevmon_spark.functions.tdigest import TDigest
+
+        starts = group_starts(pdf, list(SERIES_KEY))
+        ends = np.concatenate([starts[1:], [len(pdf)]])
+        heads = pdf.iloc[starts]
+        col = pdf["latency_tdigest"]
+        rows = {
+            "conv_id": heads["conv_id"].to_numpy(),
+            "tool": heads["tool"].to_numpy(),
+            "role": heads["role"].to_numpy(),
+        }
+        counts, mins, maxs = [], [], []
+        qvals: list[list[float]] = [[] for _ in quantiles]
+        for s, e in zip(starts, ends):
+            blobs = sorted(bytes(b) for b in col.iloc[s:e])
+            acc = TDigest.from_bytes(blobs[0])
+            for b in blobs[1:]:
+                acc = acc.merge(TDigest.from_bytes(b))
+            counts.append(int(acc.count))
+            if acc.count == 0:
+                mins.append(np.nan)
+                maxs.append(np.nan)
+            else:
+                # lat_us ints < 2^52: * 1e6 round inverts the build-time
+                # / 1e6 scaling bit-exactly (same face as
+                # sketch_exact_stats)
+                mins.append(float(round(acc.vmin * 1e6)))
+                maxs.append(float(round(acc.vmax * 1e6)))
+            for i, q in enumerate(quantiles):
+                qvals[i].append(acc.quantile(q))
+        rows["lat_count"] = np.asarray(counts, dtype=np.int64)
+        rows["lat_min_us"] = np.asarray(mins, dtype=np.float64)
+        rows["lat_max_us"] = np.asarray(maxs, dtype=np.float64)
+        for c, vals in zip(qcols, qvals):
+            rows[c] = np.asarray(vals, dtype=np.float64)
+        return pd.DataFrame(rows)
+
+    merged = partitionwise_apply(
+        unioned, list(SERIES_KEY), [], merge_batch, schema
+    )
+    return merged.select(
+        *SERIES_KEY,
+        F.expr(f"timestampadd(MICROSECOND, {t0_us}, {EPOCH_NTZ})").alias(
+            "range_start"
+        ),
+        F.expr(f"timestampadd(MICROSECOND, {t1_us}, {EPOCH_NTZ})").alias(
+            "range_end"
+        ),
+        "lat_count",
+        "lat_min_us",
+        "lat_max_us",
+        *qcols,
+    )

@@ -2862,3 +2862,38 @@ SELECT conv_id, tool, role,
 FROM rng GROUP BY conv_id, tool, role
 """
     return with_transcripts(body)
+
+
+def realtime_range_sketch_oracle() -> str:
+    """Exact-face oracle for operators/tier_router.
+    realtime_range_sketch: direct raw range scan → per-series count /
+    min / max of lat_us (the quantities a t-digest maintains EXACTLY
+    through every merge). Same integer range arithmetic as
+    default_range_us; min/max as doubles to share one dtype with the
+    blob-decoded NULL-when-empty case."""
+    body = f"""
+, {_LAT_CTE},
+b AS (
+    SELECT (min(epoch_us(ts)) // 60000000) + 1 AS lo_min,
+           (max(epoch_us(ts)) // 60000000) AS hi_min
+    FROM transcripts
+),
+bounds AS (
+    SELECT (lo_min + ((hi_min - lo_min) * 13) // 100) * 60000000 AS t0,
+           (lo_min + ((hi_min - lo_min) * 87) // 100) * 60000000 AS t1
+    FROM b
+),
+rng AS (
+    SELECT l.* FROM lat l, bounds
+    WHERE epoch_us(l.ts) >= bounds.t0 AND epoch_us(l.ts) < bounds.t1
+)
+SELECT conv_id, tool, role,
+    make_timestamp(bounds.t0) AS range_start,
+    make_timestamp(bounds.t1) AS range_end,
+    count(lat_us) AS lat_count,
+    CAST(min(lat_us) AS DOUBLE) AS lat_min_us,
+    CAST(max(lat_us) AS DOUBLE) AS lat_max_us
+FROM rng, bounds
+GROUP BY conv_id, tool, role, bounds.t0, bounds.t1
+"""
+    return with_transcripts(body)

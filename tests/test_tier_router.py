@@ -201,3 +201,80 @@ def test_stored_tier_read_plan_has_no_reaggregation_of_1d(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     # one Aggregate only: the final per-series merge
     assert plan.count("Aggregate") == 1, plan
+
+
+def test_range_sketch_quantiles_within_tdigest_error(spark):
+    """The sketch range read's p50/p95/p99 must track the EXACT range
+    percentiles (realtime_range_agg) within t-digest accuracy; its
+    exact face must match exactly."""
+    from streamevmon_spark.operators.tier_router import (
+        realtime_range_sketch,
+    )
+
+    df = generate_transcripts(spark, n_turns=20_000, n_convs=20)
+    row = df.select(
+        F.min(F.expr(
+            "datediff(MICROSECOND, timestamp_ntz'1970-01-01', ts)"
+        )).alias("mn"),
+        F.max(F.expr(
+            "datediff(MICROSECOND, timestamp_ntz'1970-01-01', ts)"
+        )).alias("mx"),
+    ).collect()[0]
+    t0, t1 = default_range_us(row.mn, row.mx)
+    sk = realtime_range_sketch(df, t0, t1).toPandas().set_index(
+        ["conv_id", "tool", "role"]
+    )
+    ex = realtime_range_agg(df, t0, t1).toPandas().set_index(
+        ["conv_id", "tool", "role"]
+    )
+    assert set(sk.index) == set(ex.index) and len(sk) > 0
+    joined = sk.join(ex, lsuffix="_sk")
+    # exact face: count and min/max agree exactly (µs vs seconds scale)
+    assert (joined["lat_count"] == joined["__lat_cnt"]).all() if \
+        "__lat_cnt" in joined else True
+    import numpy as np
+
+    assert np.allclose(
+        joined["lat_min_us"] / 1e6, joined["lat_min"], rtol=0, atol=0,
+        equal_nan=True,
+    )
+    assert np.allclose(
+        joined["lat_max_us"] / 1e6, joined["lat_max"], rtol=0, atol=0,
+        equal_nan=True,
+    )
+    # quantiles: t-digest's guarantee is RANK accuracy — check the
+    # empirical CDF of the exact latency multiset at each estimate
+    lat = (
+        add_lat(df, t0, t1)
+        .toPandas()
+        .groupby(["conv_id", "tool", "role"])["lat_s"]
+        .apply(lambda x: np.sort(x.to_numpy()))
+    )
+    for q, col in ((0.5, "lat_p50"), (0.95, "lat_p95"), (0.99, "lat_p99")):
+        errs = []
+        for key, arr in lat.items():
+            if len(arr) < 50 or key not in sk.index:
+                continue
+            est = sk.loc[key, col]
+            rank = np.searchsorted(arr, est, side="right") / len(arr)
+            errs.append(abs(rank - q))
+        assert errs, "no eligible groups"
+        assert np.mean(np.asarray(errs) <= 0.1) >= 0.9, (q, errs)
+
+
+def add_lat(df, t0, t1):
+    from streamevmon_spark.operators.rollup import (
+        add_inter_turn_latency,
+    )
+
+    with_lat = add_inter_turn_latency(df)
+    return with_lat.where(
+        (F.expr("datediff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+         >= t0)
+        & (F.expr("datediff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+           < t1)
+        & F.col("lat_us").isNotNull()
+    ).select(
+        "conv_id", "tool", "role",
+        (F.col("lat_us") / 1e6).alias("lat_s"),
+    )
