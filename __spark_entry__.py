@@ -474,10 +474,31 @@ def _q_realtime_range_agg_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamevmon_spark.plans.cascade_store import _merge_state
 
     t = load_transcripts(spark, sf_dir)
-    m1 = _state_1m(t)
-    h1 = _merge_state(m1, HOUR_US)
+    # materialize each tier once (the stored-parquet analogue) — without
+    # this the 1m build would re-execute under every tier branch
+    m1 = _state_1m(t).localCheckpoint()
+    h1 = _merge_state(m1, HOUR_US).localCheckpoint()
     d1 = _merge_state(h1, DAY_US)
     return realtime_range_agg(t, state_1m=m1, state_1h=h1, state_1d=d1)
+
+
+def _q_range_agg_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-backed range read (plans/cascade_store.range_agg_from_
+    store): ingest the cascade store if needed, lazily upgrade the
+    mergeable state_1h/state_1d face, then answer the default range
+    from STORED tier rows only — raw is never opened on the read path.
+    Same raw-range-scan oracle as realtime_range_agg."""
+    from streamevmon_spark.plans import cascade_store as C
+    from streamevmon_spark.plans.manifest import load_manifest
+
+    out = _cascade_store_dir(sf_dir)
+    m = load_manifest(out)
+    if m is None or not all(p.status == "done" for p in m.partitions):
+        C.run_cascade_store(
+            spark, load_transcripts(spark, sf_dir), out, input_path=sf_dir
+        )
+    C.refresh_state_cascade(spark, out)
+    return C.range_agg_from_store(spark, out)
 
 
 def _q_realtime_range_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1794,6 +1815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r4 (late): sketch-faced range read — exact face hashed,
         # quantile error pytest-bounded
         "realtime_range_sketch": _q_realtime_range_sketch,
+        # new r4 (late): same range answered from the ON-DISK store's
+        # mergeable tier faces — raw never opened on the read path
+        "range_agg_from_store": _q_range_agg_from_store,
         "holt_winters": _q_holt_winters,
         "over_time_1h": _q_over_time,
         "alerts_for_duration": _q_alerts_for_duration,
@@ -2241,6 +2265,8 @@ def oracle_sql() -> dict[str, str]:
         "realtime_range_agg_tiers": oracles.realtime_range_agg_oracle(),
         # exact-face oracle: count/min/max of lat_us over the raw range
         "realtime_range_sketch": oracles.realtime_range_sketch_oracle(),
+        # store-backed read, same raw-scan oracle (third engine path)
+        "range_agg_from_store": oracles.realtime_range_agg_oracle(),
         "holt_winters": oracles.holt_winters_oracle(0.3, 0.1),
         "over_time_1h": oracles.over_time_oracle(3600),
         "alerts_for_duration": oracles.alerts_for_duration_oracle(

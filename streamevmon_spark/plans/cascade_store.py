@@ -643,3 +643,158 @@ def read_cascade(
         )
         .drop("__cday")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-state coarse tiers (the tier-router's stored read targets)
+# ---------------------------------------------------------------------------
+
+
+def refresh_state_cascade(
+    spark: SparkSession,
+    out_dir: str,
+    coarse_tiers: tuple[str, ...] = ("1h", "1d"),
+    manifest: Manifest | None = None,
+) -> dict[str, list[int]]:
+    """Incrementally maintain MERGEABLE coarse-tier state (the exact
+    per-window aggregate incl. the sorted latency array), alongside the
+    final rollup tiers refresh_cascade writes.
+
+    refresh_cascade's ``cascade_{tier}`` partitions are FINAL rows
+    (averages, percentiles) — readable but not further mergeable; the
+    tier router (operators/tier_router.realtime_range_agg) needs
+    mergeable rows so an arbitrary range's segments can be combined
+    exactly. Same watermark/day-partition mechanics under independent
+    ``state_{tier}`` manifest keys; derived from the stored 1m state,
+    raw never rescanned; a store ingested before this face existed
+    upgrades lazily in place (same lifecycle as the sketch/HLL faces).
+    """
+    m = manifest or load_manifest(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    done = [p for p in m.partitions if p.status == "done"]
+    refreshed: dict[str, list[int]] = {}
+    changed = False
+    for tier in coarse_tiers:
+        key = f"state_{tier}"
+        win_us = TIERS[tier] * 1_000_000
+        entry = m.cascade.setdefault(
+            key, {"last_seq": 0, "days": [], "log": []}
+        )
+        new_parts = [p for p in done if p.seq > entry["last_seq"]]
+        refreshed[tier] = []
+        if not new_parts:
+            continue
+        days = sorted(
+            {
+                d
+                for p in new_parts
+                for d in range(
+                    p.start_us // DAY_US,
+                    (p.end_us + DAY_US - 1) // DAY_US,
+                )
+            }
+        )
+        lo_us, hi_us = days[0] * DAY_US, (days[-1] + 1) * DAY_US
+        paths = [
+            os.path.join(out_dir, STATE_DIR, p.part_id)
+            for p in done
+            if p.start_us < hi_us and p.end_us > lo_us
+        ]
+        day_set = set(days)
+        state = (
+            spark.read.parquet(*paths)
+            .withColumn("__cday", F.expr(f"__w_us div {DAY_US}"))
+            .where(F.col("__cday").isin(*day_set))
+            .drop("__cday")
+        )
+        merged = _merge_state(state, win_us).withColumn(
+            "__cday", F.expr(f"__w_us div {DAY_US}")
+        )
+        dest = os.path.join(out_dir, key)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__cday")
+            .parquet(dest)
+        )
+        entry["last_seq"] = max(p.seq for p in new_parts)
+        on_disk = {
+            int(n.split("=")[1])
+            for n in os.listdir(dest)
+            if n.startswith("__cday=")
+        }
+        entry["days"] = sorted((set(entry["days"]) | day_set) & on_disk)
+        entry["log"].append(
+            {"seqs": sorted(p.seq for p in new_parts), "days": days}
+        )
+        refreshed[tier] = days
+        changed = True
+    if changed:
+        save_manifest(out_dir, m)
+    return refreshed
+
+
+def read_state_tier(
+    spark: SparkSession, out_dir: str, tier: str
+) -> DataFrame | None:
+    """Mergeable state for one tier: the per-bucket 1m dirs, or a
+    coarse tier's manifest-tracked day-partitions (None if that face
+    was never refreshed — the router then derives from 1m)."""
+    m = load_manifest(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    if tier == "1m":
+        paths = [
+            os.path.join(out_dir, STATE_DIR, p.part_id)
+            for p in m.partitions
+            if p.status == "done"
+        ]
+        return spark.read.parquet(*paths) if paths else None
+    entry = m.cascade.get(f"state_{tier}")
+    if not entry or not entry["days"]:
+        return None
+    root = os.path.join(out_dir, f"state_{tier}")
+    return (
+        spark.read.option("basePath", root)
+        .parquet(
+            *[os.path.join(root, f"__cday={d}") for d in entry["days"]]
+        )
+        .drop("__cday")
+    )
+
+
+def range_agg_from_store(
+    spark: SparkSession,
+    out_dir: str,
+    t0_us: int | None = None,
+    t1_us: int | None = None,
+) -> DataFrame:
+    """Exact per-series range aggregate answered ENTIRELY from the
+    store: interior days from state_1d rows, edges from state_1h /
+    per-bucket 1m state — raw is never opened (there is no raw handle
+    in scope to open). Default bounds replay default_range_us on the
+    1m state's window extrema: min(__w_us) and max(__w_us) floor the
+    same minutes as the raw min/max timestamps, so the bounds are
+    IDENTICAL to the raw-derived ones the driver oracle computes."""
+    from streamevmon_spark.operators.tier_router import (
+        default_range_us,
+        realtime_range_agg,
+    )
+
+    m1 = read_state_tier(spark, out_dir, "1m")
+    if m1 is None:
+        raise FileNotFoundError(f"no ingested 1m state under {out_dir}")
+    if t0_us is None or t1_us is None:
+        row = m1.select(
+            F.min("__w_us").alias("mn"), F.max("__w_us").alias("mx")
+        ).collect()[0]
+        t0_us, t1_us = default_range_us(row.mn, row.mx)
+    return realtime_range_agg(
+        None,
+        t0_us,
+        t1_us,
+        state_1m=m1,
+        state_1h=read_state_tier(spark, out_dir, "1h"),
+        state_1d=read_state_tier(spark, out_dir, "1d"),
+    )
