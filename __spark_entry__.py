@@ -423,6 +423,24 @@ def _q_counter_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counter_rate(load_transcripts(spark, sf_dir), "1h")
 
 
+_CM_KC_CACHE: dict = {}
+
+
+def _cm_key_counts_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1h key_counts relation, built from ONE raw scan per session
+    and localCheckpointed (it is bounded: buckets x conversations) —
+    both cm gate queries derive counters, candidates and exact counts
+    from it with zero further raw scans."""
+    from streamevmon_spark.operators.cmsketch import key_counts
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cm_kc_1h")
+    if key not in _CM_KC_CACHE:
+        _CM_KC_CACHE[key] = key_counts(
+            load_transcripts(spark, sf_dir), "1h"
+        ).localCheckpoint()
+    return _CM_KC_CACHE[key]
+
+
 def _q_cm_topk_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters: top-5 conversations per 1h
     bucket by sketch estimate (operators/cmsketch.cm_heavy_hitters) —
@@ -430,7 +448,9 @@ def _q_cm_topk_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count alongside. All-integer hashed surface."""
     from streamevmon_spark.operators.cmsketch import cm_heavy_hitters
 
-    return cm_heavy_hitters(load_transcripts(spark, sf_dir), "1h", k=5)
+    return cm_heavy_hitters(
+        tier="1h", k=5, counts=_cm_key_counts_shared(spark, sf_dir)
+    )
 
 
 def _q_cm_topk_1d_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,9 +463,11 @@ def _q_cm_topk_1d_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         cm_merge_counters,
     )
 
-    t = load_transcripts(spark, sf_dir)
-    merged = cm_merge_counters(cm_counters(t, "1h"), "1h", "1d")
-    return cm_heavy_hitters(t, "1h", k=5, counters=merged, to_tier="1d")
+    kc = _cm_key_counts_shared(spark, sf_dir)
+    merged = cm_merge_counters(cm_counters(counts=kc), "1h", "1d")
+    return cm_heavy_hitters(
+        tier="1h", k=5, counters=merged, to_tier="1d", counts=kc
+    )
 
 
 def _q_realtime_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

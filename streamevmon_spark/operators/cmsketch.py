@@ -70,26 +70,62 @@ def _w_us_expr(tier: str) -> str:
     )
 
 
-def cm_counters(
+def key_counts(
     transcripts: DataFrame, tier: str = "1h", key_col: str = "conv_id"
 ) -> DataFrame:
+    """Exact per-(bucket, key) counts — the ONE raw-scan aggregate the
+    whole heavy-hitter surface derives from. Output is bounded by
+    buckets x distinct keys; callers that feed several consumers
+    (counters + candidates + exact counts) should materialize it once
+    (localCheckpoint / store) — that is the stored-state analogue, and
+    it is what keeps the family at a single raw scan."""
+    return (
+        transcripts.select(
+            F.expr(_w_us_expr(tier)).alias("w_us"), key_col
+        )
+        .groupBy("w_us", key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _rebucket_counts(counts: DataFrame, to_tier: str) -> DataFrame:
+    to_us = TIERS[to_tier] * 1_000_000
+    key_col = counts.columns[1]
+    return (
+        counts.withColumn(
+            "w_us", F.expr(f"(w_us div {to_us}) * {to_us}")
+        )
+        .groupBy("w_us", key_col)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cm_counters(
+    transcripts: DataFrame | None = None,
+    tier: str = "1h",
+    key_col: str = "conv_id",
+    counts: DataFrame | None = None,
+) -> DataFrame:
     """Per-(bucket, rw, cl) exact counts — the mergeable count-min
-    state. One scan: the DEPTH hash columns are stacked (codegen'd
-    projection, no repeated input scan), then one map-side-combinable
-    hash aggregate. Output is bounded: <= DEPTH*WIDTH rows per bucket.
-    """
+    state. Built from the bounded ``key_counts`` relation (pass
+    ``counts`` to reuse an already-materialized one): each key's DEPTH
+    cells are stacked (codegen'd projection) WEIGHTED by its count, so
+    the cell sums are identical to hashing every raw row, but the
+    stack multiplies a pre-aggregated relation instead of raw turns.
+    Output is bounded: <= DEPTH*WIDTH rows per bucket."""
+    if counts is None:
+        counts = key_counts(transcripts, tier, key_col)
     stack_args = ", ".join(
         f"{i}, {_col_sql(i, key_col)}" for i in range(DEPTH)
     )
     return (
-        transcripts.select(
-            F.expr(_w_us_expr(tier)).alias("w_us"),
-            F.expr(
-                f"stack({DEPTH}, {stack_args}) AS (rw, cl)"
-            ),
+        counts.select(
+            "w_us",
+            "cnt",
+            F.expr(f"stack({DEPTH}, {stack_args}) AS (rw, cl)"),
         )
         .groupBy("w_us", "rw", "cl")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
 
 
@@ -135,12 +171,13 @@ def cm_estimate(
 
 
 def cm_heavy_hitters(
-    transcripts: DataFrame,
+    transcripts: DataFrame | None = None,
     tier: str = "1h",
     key_col: str = "conv_id",
     k: int = 5,
     counters: DataFrame | None = None,
     to_tier: str | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Gate query: per tier bucket, the top-``k`` keys by count-min
     estimate (deterministic tiebreak on the key), with the exact count
@@ -148,20 +185,22 @@ def cm_heavy_hitters(
     no collision, both verified row-by-row by the oracle.
 
     When ``counters`` is given it is used as the sketch state (e.g. the
-    1h->1d merged state), while candidates/exact counts always come from
-    ``transcripts`` bucketed at ``to_tier or tier`` — hash-equality of
+    1h->1d merged state), while candidates/exact counts come from the
+    ``tier``-level key_counts — pass ``counts`` (an already-materialized
+    key_counts at ``tier``) and the whole computation derives from that
+    one bounded relation with ZERO further raw scans; hash-equality of
     the merged path against the oracle's direct-from-raw computation is
     the mergeability proof."""
     bucket_tier = to_tier or tier
-    base = transcripts.select(
-        F.expr(_w_us_expr(bucket_tier)).alias("w_us"),
-        key_col,
-    )
-    exact = base.groupBy("w_us", key_col).agg(
-        F.count(F.lit(1)).alias("exact_cnt")
-    )
+    if counts is None:
+        counts = key_counts(transcripts, tier, key_col)
+    exact = (
+        _rebucket_counts(counts, bucket_tier)
+        if bucket_tier != tier
+        else counts
+    ).withColumnRenamed("cnt", "exact_cnt")
     if counters is None:
-        counters = cm_counters(transcripts, tier, key_col)
+        counters = cm_counters(tier=tier, key_col=key_col, counts=counts)
     est = cm_estimate(counters, exact.select("w_us", key_col), key_col)
     from pyspark.sql import Window
 
