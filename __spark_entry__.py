@@ -316,6 +316,63 @@ def _q_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return downsample_lttb(load_transcripts(spark, sf_dir), 64)
 
 
+def _q_trend_fit_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend per (series, 1h bucket): PromQL deriv +
+    predict_linear from exact integer sums (operators/regress.trend_fit)."""
+    from streamevmon_spark.operators.regress import trend_fit
+
+    return trend_fit(load_transcripts(spark, sf_dir), "1h", horizon_s=600)
+
+
+def _q_tool_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tool activity lag correlation at 1h, lag 1 bucket
+    (operators/regress.tool_lag_corr): Pearson r over exact per-bucket
+    counts for every ordered tool pair."""
+    from streamevmon_spark.operators.regress import tool_lag_corr
+
+    return tool_lag_corr(load_transcripts(spark, sf_dir), "1h", lag_buckets=1)
+
+
+def _q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization, 8 PAA segments over a 4-letter alphabet
+    (operators/regress.sax_symbols): z-normalized segment averages from
+    exact milli-quantized integer sums mapped at fixed N(0,1)
+    quartile breakpoints."""
+    from streamevmon_spark.operators.regress import sax_symbols
+
+    return sax_symbols(load_transcripts(spark, sf_dir), n_segments=8)
+
+
+def _q_activity_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool activity autocorrelation at lags 1..6 over hourly
+    bucket counts (operators/regress.activity_acf) — the seasonality
+    detector behind seasonal_naive's season length."""
+    from streamevmon_spark.operators.regress import activity_acf
+
+    return activity_acf(load_transcripts(spark, sf_dir), "1h", max_lag=6)
+
+
+def _q_theilsen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily slope per series: exact interpolated
+    median of all same-day pairwise slopes between hourly averages
+    (operators/regress.theilsen_daily)."""
+    from streamevmon_spark.operators.regress import theilsen_daily
+
+    return theilsen_daily(load_transcripts(spark, sf_dir), "1h")
+
+
+def _q_seasonal_naive_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive residuals: each (series, 1h bucket) average vs the
+    same series 24 buckets earlier (operators/regress.seasonal_naive) —
+    day-over-day anomaly flags on exact bucket averages."""
+    from streamevmon_spark.operators.regress import seasonal_naive
+
+    return seasonal_naive(
+        load_transcripts(spark, sf_dir), "1h", season_buckets=24,
+        threshold=50.0,
+    )
+
+
 BM25_TERMS = ["hash", "scan", "table", "value"]
 
 #: deterministic PII augmentation (identical expression mirrored in the
@@ -1807,6 +1864,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked: r3 additions that sat past the
         # window (2) + every r4 addition ------------------------------
+        # newest r4: regression/symbolic analytics (operators/regress)
+        "trend_fit_1h": _q_trend_fit_1h,
+        "tool_lag_corr": _q_tool_lag_corr,
+        "sax_symbols": _q_sax_symbols,
+        "seasonal_naive_1h": _q_seasonal_naive_1h,
+        "activity_acf": _q_activity_acf,
+        "theilsen_daily": _q_theilsen_daily,
         "downsample_lttb": _q_downsample_lttb,
         "stream_chunks_closed": _q_stream_chunks,
         # new r4 (late): count-min sketch heavy hitters — the store's
@@ -2107,6 +2171,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "trend_fit_1h": oracles.trend_fit_oracle("1h", horizon_s=600),
+        "tool_lag_corr": oracles.tool_lag_corr_oracle("1h", lag_buckets=1),
+        "sax_symbols": oracles.sax_symbols_oracle(n_segments=8),
+        "seasonal_naive_1h": oracles.seasonal_naive_oracle(
+            "1h", season_buckets=24, threshold=50.0
+        ),
+        "activity_acf": oracles.activity_acf_oracle("1h", max_lag=6),
+        "theilsen_daily": oracles.theilsen_daily_oracle("1h"),
         "transcripts": oracles.transcripts_oracle(),
         "rollup_1m": oracles.rollup_oracle("1m"),
         "rollup_1h": oracles.rollup_oracle("1h"),

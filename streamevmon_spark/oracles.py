@@ -2897,3 +2897,246 @@ FROM rng, bounds
 GROUP BY conv_id, tool, role, bounds.t0, bounds.t1
 """
     return with_transcripts(body)
+
+
+# ---------------------------------------------------------------------------
+# Regression / symbolic analytics (operators/regress.py)
+# ---------------------------------------------------------------------------
+
+
+def trend_fit_oracle(tier: str = "1h", horizon_s: int = 600) -> str:
+    """Mirror of operators/regress.trend_fit: exact integer sums of
+    bucket-rebased ms offsets x against µs-quantized values, DuckDB
+    HUGEINT sums cast through BIGINT (loud on overflow, correctly
+    rounded to double), then the SAME slope/predict formula text the
+    Spark side renders (regress.trend_fit_sql)."""
+    from streamevmon_spark.operators.regress import trend_fit_sql
+
+    win_us = TIERS[tier] * 1_000_000
+    slope, predict, guard = trend_fit_sql(horizon_s * 1000)
+    body = f"""
+, pts AS (
+    SELECT conv_id, tool, role,
+        (epoch_us(ts) // {win_us}) * {win_us} AS w_us,
+        (epoch_us(ts) - (epoch_us(ts) // {win_us}) * {win_us}) // 1000
+            AS x_ms,
+        CAST(floor(value * 1e6) AS BIGINT) AS val_q
+    FROM transcripts WHERE value IS NOT NULL
+),
+g AS (
+    SELECT w_us, conv_id, tool, role,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x_ms) AS BIGINT) AS sx,
+        CAST(sum(val_q) AS BIGINT) AS sy,
+        CAST(sum(x_ms * x_ms) AS BIGINT) AS sxx,
+        CAST(sum(x_ms * val_q) AS BIGINT) AS sxy
+    FROM pts GROUP BY w_us, conv_id, tool, role
+)
+SELECT make_timestamp(w_us) AS bucket_start, conv_id, tool, role, n,
+    CASE WHEN {guard} THEN {slope} ELSE CAST(NULL AS DOUBLE) END
+        AS slope_per_s,
+    CASE WHEN {guard} THEN {predict} ELSE CAST(NULL AS DOUBLE) END
+        AS predict
+FROM g
+"""
+    return with_transcripts(body)
+
+
+def tool_lag_corr_oracle(tier: str = "1h", lag_buckets: int = 1) -> str:
+    """Mirror of operators/regress.tool_lag_corr: per-(tool, bucket)
+    exact counts, ordered tool pairs joined at the lag offset, Pearson
+    r from exact integer sums via the shared formula text
+    (regress.pearson_sql)."""
+    from streamevmon_spark.operators.regress import pearson_sql
+
+    win_us = TIERS[tier] * 1_000_000
+    corr, guard = pearson_sql()
+    body = f"""
+, buckets AS (
+    SELECT tool, epoch_us(ts) // {win_us} AS w_idx,
+        CAST(count(*) AS BIGINT) AS c
+    FROM transcripts GROUP BY tool, epoch_us(ts) // {win_us}
+),
+pairs AS (
+    SELECT a.tool AS tool_a, b.tool AS tool_b, a.c AS ca, b.c AS cb
+    FROM buckets a JOIN buckets b
+        ON a.tool < b.tool AND b.w_idx = a.w_idx + {lag_buckets}
+),
+g AS (
+    SELECT tool_a, tool_b,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(ca) AS BIGINT) AS sa,
+        CAST(sum(cb) AS BIGINT) AS sb,
+        CAST(sum(ca * ca) AS BIGINT) AS saa,
+        CAST(sum(cb * cb) AS BIGINT) AS sbb,
+        CAST(sum(ca * cb) AS BIGINT) AS sab
+    FROM pairs GROUP BY tool_a, tool_b
+)
+SELECT tool_a, tool_b, CAST({lag_buckets} AS INT) AS lag,
+    n AS n_buckets,
+    CASE WHEN {guard} THEN {corr} ELSE CAST(NULL AS DOUBLE) END AS corr
+FROM g
+"""
+    return with_transcripts(body)
+
+
+def sax_symbols_oracle(n_segments: int = 8) -> str:
+    """Mirror of operators/regress.sax_symbols: milli-quantized exact
+    integer sums, the standard PAA index map k*w // n over the stable
+    (ts, turn_idx) order, and the shared mean/var/paa + breakpoint
+    formula texts (regress.sax_stats_sql / sax_symbol_sql /
+    SAX_Z_SQL)."""
+    from streamevmon_spark.operators.regress import (
+        SAX_Z_SQL,
+        sax_stats_sql,
+        sax_symbol_sql,
+    )
+
+    mean, var, paa = sax_stats_sql()
+    z = SAX_Z_SQL.format(var=var, paa=paa, mean=mean)
+    body = f"""
+, pts AS (
+    SELECT conv_id, tool, role,
+        CAST(floor(value * 1e3) AS BIGINT) AS val_q,
+        row_number() OVER (PARTITION BY conv_id, tool, role
+            ORDER BY ts, turn_idx) - 1 AS k,
+        count(*) OVER (PARTITION BY conv_id, tool, role) AS n
+    FROM transcripts WHERE value IS NOT NULL
+),
+segs AS (
+    SELECT conv_id, tool, role,
+        CAST((k * {n_segments}) // n AS INT) AS seg,
+        CAST(max(n) AS BIGINT) AS n_ser,
+        CAST(count(*) AS BIGINT) AS cnt,
+        CAST(sum(val_q) AS BIGINT) AS ssum,
+        CAST(sum(val_q * val_q) AS BIGINT) AS ssqq
+    FROM pts
+    GROUP BY conv_id, tool, role, CAST((k * {n_segments}) // n AS INT)
+),
+series AS (
+    SELECT conv_id, tool, role,
+        CAST(max(n_ser) AS BIGINT) AS n,
+        CAST(sum(ssum) AS BIGINT) AS sq,
+        CAST(sum(ssqq) AS BIGINT) AS sqq
+    FROM segs GROUP BY conv_id, tool, role
+)
+SELECT s.conv_id, s.tool, s.role, s.seg,
+    s.cnt AS n_pts,
+    {paa} AS paa,
+    {z} AS z,
+    {sax_symbol_sql(z)} AS sym
+FROM segs s JOIN series USING (conv_id, tool, role)
+"""
+    return with_transcripts(body)
+
+
+def seasonal_naive_oracle(
+    tier: str = "1h", season_buckets: int = 24, threshold: float = 50.0
+) -> str:
+    """Mirror of operators/regress.seasonal_naive: bucket averages from
+    exact µs-quantized integer sums (identical doubles), inner self-join
+    at the season offset on the integer bucket index."""
+    win_us = TIERS[tier] * 1_000_000
+    thr = f"CAST({float(threshold)!r} AS DOUBLE)"
+    body = f"""
+, buckets AS (
+    SELECT conv_id, tool, role, epoch_us(ts) // {win_us} AS w_idx,
+        (CAST(CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6) AS bucket_avg
+    FROM transcripts WHERE value IS NOT NULL
+    GROUP BY conv_id, tool, role, epoch_us(ts) // {win_us}
+)
+SELECT make_timestamp(cur.w_idx * {win_us}) AS bucket_start,
+    cur.conv_id, cur.tool, cur.role,
+    cur.bucket_avg AS bucket_avg,
+    prev.bucket_avg AS seasonal_avg,
+    cur.bucket_avg - prev.bucket_avg AS residual,
+    abs(cur.bucket_avg - prev.bucket_avg) > {thr} AS is_anom
+FROM buckets cur JOIN buckets prev
+    ON cur.conv_id = prev.conv_id AND cur.tool = prev.tool
+    AND cur.role = prev.role
+    AND cur.w_idx = prev.w_idx + {season_buckets}
+"""
+    return with_transcripts(body)
+
+
+def activity_acf_oracle(tier: str = "1h", max_lag: int = 6) -> str:
+    """Mirror of operators/regress.activity_acf: per-(tool, bucket)
+    exact counts, same-tool pairs at every lag 1..max_lag, Pearson r
+    per (tool, lag) via the shared formula text."""
+    from streamevmon_spark.operators.regress import pearson_sql
+
+    win_us = TIERS[tier] * 1_000_000
+    corr, guard = pearson_sql()
+    body = f"""
+, buckets AS (
+    SELECT tool, epoch_us(ts) // {win_us} AS w_idx,
+        CAST(count(*) AS BIGINT) AS c
+    FROM transcripts GROUP BY tool, epoch_us(ts) // {win_us}
+),
+lags AS (
+    SELECT unnest(generate_series(1, {max_lag})) AS lag
+),
+pairs AS (
+    SELECT a.tool AS tool, l.lag AS lag, a.c AS ca, b.c AS cb
+    FROM buckets a CROSS JOIN lags l JOIN buckets b
+        ON b.tool = a.tool AND b.w_idx = a.w_idx + l.lag
+),
+g AS (
+    SELECT tool, lag,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(ca) AS BIGINT) AS sa,
+        CAST(sum(cb) AS BIGINT) AS sb,
+        CAST(sum(ca * ca) AS BIGINT) AS saa,
+        CAST(sum(cb * cb) AS BIGINT) AS sbb,
+        CAST(sum(ca * cb) AS BIGINT) AS sab
+    FROM pairs GROUP BY tool, lag
+)
+SELECT tool, CAST(lag AS INT) AS lag, n AS n_buckets,
+    CASE WHEN {guard} THEN {corr} ELSE CAST(NULL AS DOUBLE) END AS acf
+FROM g
+"""
+    return with_transcripts(body)
+
+
+def theilsen_daily_oracle(tier: str = "1h") -> str:
+    """Mirror of operators/regress.theilsen_daily: exact hourly bucket
+    averages, all same-day pairwise slopes (fixed-order arithmetic),
+    exact interpolated median over the sorted slope array via the
+    shared trend-module formula builder."""
+    from streamevmon_spark.operators.trend import median_sql_duckdb
+
+    win_us = TIERS[tier] * 1_000_000
+    buckets_per_day = 86_400_000_000 // win_us
+    tier_s = float(TIERS[tier])
+    med = median_sql_duckdb("sarr")
+    body = f"""
+, hourly AS (
+    SELECT conv_id, tool, role, epoch_us(ts) // {win_us} AS h_idx,
+        (epoch_us(ts) // {win_us}) // {buckets_per_day} AS day_idx,
+        (CAST(CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6) AS avg_v
+    FROM transcripts WHERE value IS NOT NULL
+    GROUP BY conv_id, tool, role, epoch_us(ts) // {win_us}
+),
+pairs AS (
+    SELECT a.conv_id, a.tool, a.role, a.day_idx,
+        (b.avg_v - a.avg_v)
+            / (CAST(b.h_idx - a.h_idx AS DOUBLE) * {tier_s!r}) AS slope
+    FROM hourly a JOIN hourly b
+        ON a.conv_id = b.conv_id AND a.tool = b.tool
+        AND a.role = b.role AND a.day_idx = b.day_idx
+        AND b.h_idx > a.h_idx
+),
+g AS (
+    SELECT conv_id, tool, role, day_idx,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        list_sort(list(slope)) AS sarr
+    FROM pairs GROUP BY conv_id, tool, role, day_idx
+)
+SELECT make_timestamp(day_idx * 86400000000) AS day_start,
+    conv_id, tool, role, n_pairs,
+    {med} AS slope_per_s
+FROM g
+"""
+    return with_transcripts(body)
