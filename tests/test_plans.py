@@ -138,3 +138,33 @@ def test_dedup_clusters_no_cartesian(spark):
     plan = _executed(dedup_clusters(docs, threshold=0.2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_regress_plans_no_nested_loop(spark, raw):
+    """The regression-analytics joins (lag correlation, ACF,
+    seasonal-naive, Theil-Sen) must resolve their equi-keys — a
+    regression to BroadcastNestedLoopJoin/CartesianProduct would be
+    quadratic in the bucket relation at scale. trend_fit must stay a
+    pure single-exchange aggregation (no join at all)."""
+    from streamevmon_spark.operators.regress import (
+        activity_acf,
+        seasonal_naive,
+        theilsen_daily,
+        tool_lag_corr,
+        trend_fit,
+    )
+
+    for fn in (
+        lambda: tool_lag_corr(raw, "1h", 1),
+        lambda: activity_acf(raw, "1h", 3),
+        lambda: seasonal_naive(raw, "1h"),
+        lambda: theilsen_daily(raw, "1h"),
+    ):
+        plan = _executed(fn())
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _executed(trend_fit(raw, "1h"))
+    assert "Join" not in plan
+    top = plan.split("InMemoryRelation", 1)[0]
+    assert len(re.findall(r"Exchange hashpartitioning", top)) == 1
