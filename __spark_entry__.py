@@ -361,6 +361,24 @@ def _q_theilsen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theilsen_daily(load_transcripts(spark, sf_dir), "1h")
 
 
+def _q_topk_series_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 busiest series per 1h bucket (operators/seriesops.
+    topk_series) — the PromQL topk() read face with a deterministic
+    count-then-key total order."""
+    from streamevmon_spark.operators.seriesops import topk_series
+
+    return topk_series(load_transcripts(spark, sf_dir), "1h", k=5)
+
+
+def _q_series_churn_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily series churn: active vs first-seen series counts
+    (operators/seriesops.series_churn) — the cardinality-explosion
+    early warning."""
+    from streamevmon_spark.operators.seriesops import series_churn
+
+    return series_churn(load_transcripts(spark, sf_dir), "1d")
+
+
 def _q_seasonal_naive_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive residuals: each (series, 1h bucket) average vs the
     same series 24 buckets earlier (operators/regress.seasonal_naive) —
@@ -1871,6 +1889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_1h": _q_seasonal_naive_1h,
         "activity_acf": _q_activity_acf,
         "theilsen_daily": _q_theilsen_daily,
+        "topk_series_1h": _q_topk_series_1h,
+        "series_churn_1d": _q_series_churn_1d,
         "downsample_lttb": _q_downsample_lttb,
         "stream_chunks_closed": _q_stream_chunks,
         # new r4 (late): count-min sketch heavy hitters — the store's
@@ -2179,6 +2199,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "activity_acf": oracles.activity_acf_oracle("1h", max_lag=6),
         "theilsen_daily": oracles.theilsen_daily_oracle("1h"),
+        "topk_series_1h": oracles.topk_series_oracle("1h", k=5),
+        "series_churn_1d": oracles.series_churn_oracle("1d"),
         "transcripts": oracles.transcripts_oracle(),
         "rollup_1m": oracles.rollup_oracle("1m"),
         "rollup_1h": oracles.rollup_oracle("1h"),

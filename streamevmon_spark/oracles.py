@@ -3140,3 +3140,56 @@ SELECT make_timestamp(day_idx * 86400000000) AS day_start,
 FROM g
 """
     return with_transcripts(body)
+
+
+def topk_series_oracle(tier: str = "1h", k: int = 5) -> str:
+    """Mirror of operators/seriesops.topk_series: exact counts, the
+    same deterministic total order (c DESC, series key ASC)."""
+    win_us = TIERS[tier] * 1_000_000
+    body = f"""
+, counts AS (
+    SELECT (epoch_us(ts) // {win_us}) * {win_us} AS w_us,
+        conv_id, tool, role, CAST(count(*) AS BIGINT) AS c
+    FROM transcripts
+    GROUP BY (epoch_us(ts) // {win_us}) * {win_us}, conv_id, tool, role
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY w_us
+        ORDER BY c DESC, conv_id ASC, tool ASC, role ASC) AS rank
+    FROM counts
+)
+SELECT make_timestamp(w_us) AS bucket_start, CAST(rank AS INT) AS rank,
+    conv_id, tool, role, c
+FROM ranked WHERE rank <= {k}
+"""
+    return with_transcripts(body)
+
+
+def series_churn_oracle(tier: str = "1d") -> str:
+    """Mirror of operators/seriesops.series_churn: distinct-series
+    presence per bucket + first-seen bucket per series."""
+    win_us = TIERS[tier] * 1_000_000
+    body = f"""
+, presence AS (
+    SELECT conv_id, tool, role, epoch_us(ts) // {win_us} AS w_idx
+    FROM transcripts
+    GROUP BY conv_id, tool, role, epoch_us(ts) // {win_us}
+),
+active AS (
+    SELECT w_idx, CAST(count(*) AS BIGINT) AS n_active
+    FROM presence GROUP BY w_idx
+),
+first_seen AS (
+    SELECT conv_id, tool, role, min(w_idx) AS first_idx
+    FROM presence GROUP BY conv_id, tool, role
+),
+new_series AS (
+    SELECT first_idx, CAST(count(*) AS BIGINT) AS n_new
+    FROM first_seen GROUP BY first_idx
+)
+SELECT make_timestamp(a.w_idx * {win_us}) AS bucket_start,
+    a.n_active,
+    CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+FROM active a LEFT JOIN new_series n ON n.first_idx = a.w_idx
+"""
+    return with_transcripts(body)
