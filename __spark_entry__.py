@@ -1882,6 +1882,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked: r3 additions that sat past the
         # window (2) + every r4 addition ------------------------------
+        # newest r4: band-local LSH verification (applyInPandas verify
+        # inside each band bucket — no global candidate relation; same
+        # oracle as dedup_minhash_lsh, pinned row-identical)
+        "dedup_minhash_lsh_bandlocal": _q_docs(
+            "dedup", "minhash_lsh_pairs", threshold=0.2,
+            verify_mode="band_local",
+        ),
         # newest r4: regression/symbolic analytics (operators/regress)
         "trend_fit_1h": _q_trend_fit_1h,
         "tool_lag_corr": _q_tool_lag_corr,
@@ -2441,6 +2448,7 @@ def oracle_sql() -> dict[str, str]:
             0.2, 50
         ),
         "dedup_minhash_lsh": docs_oracles.minhash_lsh_oracle(0.2),
+        "dedup_minhash_lsh_bandlocal": docs_oracles.minhash_lsh_oracle(0.2),
         "dedup_simhash": docs_oracles.simhash_oracle(),
         "dedup_simhash_pairs": docs_oracles.simhash_pairs_oracle(6),
         "dedup_clusters": docs_oracles.dedup_clusters_oracle(0.2),

@@ -154,6 +154,14 @@ def _dedup_heap_gb(cpus: str) -> int:
     return max(8, int(gb_per_core * int(cpus)))
 
 
+def _dedup_verify_mode() -> str:
+    """SPARK_GRAFT_DEDUP_VERIFY_MODE: 'global' (default, the settled
+    join-based verify) or 'band_local' (applyInPandas verify inside each
+    band bucket — no global candidate relation). Both children and the
+    sibling loop honour it so A/Bs compare like against like."""
+    return os.environ.get("SPARK_GRAFT_DEDUP_VERIFY_MODE", "global")
+
+
 def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
     """Child body for the training-data-layer scaling axis: exact dedup
     (hash groupBy) + MinHash-LSH near-dup pairs (signatures -> banded
@@ -188,11 +196,13 @@ def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
     ).persist()
     docs.count()  # materialise input outside the timed region
 
+    verify_mode = _dedup_verify_mode()
+
     def job() -> None:
         exact_dedup(docs).write.format("noop").mode("overwrite").save()
-        minhash_lsh_pairs(docs, threshold=0.5).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        minhash_lsh_pairs(
+            docs, threshold=0.5, verify_mode=verify_mode
+        ).write.format("noop").mode("overwrite").save()
 
     def sig_job() -> None:
         minhash_signatures(docs).write.format("noop").mode(
@@ -222,6 +232,7 @@ def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
                       "sig_wall_s": round(sig_wall, 3),
                       "docs_per_sec": round(n_docs / wall, 1),
                       "sig_docs_per_sec": round(n_docs / sig_wall, 1),
+                      "verify_mode": verify_mode,
                       "turns_per_sec": round(n_docs / wall, 1)}))
     spark.stop()
 
@@ -294,11 +305,12 @@ def _scaling_dedup_sibling(cpus: str, n_docs: int) -> None:
         spark, n_docs=n_docs, partitions=int(cpus) * 2
     ).persist()
     docs.count()
+    verify_mode = _dedup_verify_mode()
     while True:
         exact_dedup(docs).write.format("noop").mode("overwrite").save()
-        minhash_lsh_pairs(docs, threshold=0.5).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        minhash_lsh_pairs(
+            docs, threshold=0.5, verify_mode=verify_mode
+        ).write.format("noop").mode("overwrite").save()
 
 
 #: sibling-loop flag per timed-child flag (sibling runs the SAME axis)

@@ -56,6 +56,26 @@ def test_minhash_candidates_subset_of_jaccard_with_recall(spark, docs):
         assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_minhash_band_local_verify_identical_to_global(spark, docs):
+    """The band-local applyInPandas verify path (no global candidate
+    relation, no verify joins) must produce the EXACT same verified-pair
+    relation as the settled global mode — same pairs, bit-identical
+    jaccard doubles (both compute one IEEE-754 division ni/(sa+sb-ni))."""
+    from streamevmon_spark.operators.dedup import minhash_lsh_pairs
+
+    g = minhash_lsh_pairs(docs, threshold=0.2).toPandas()
+    b = minhash_lsh_pairs(
+        docs, threshold=0.2, verify_mode="band_local"
+    ).toPandas()
+    gset = {(r.doc_a, r.doc_b, r.jaccard) for r in g.itertuples()}
+    bset = {(r.doc_a, r.doc_b, r.jaccard) for r in b.itertuples()}
+    assert gset, "fixture must yield at least one near-dup pair"
+    assert bset == gset
+
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, verify_mode="nope")
+
+
 def test_simhash_exact_dups_have_zero_hamming(spark, docs):
     from pyspark.sql import functions as F
 
