@@ -214,8 +214,13 @@ def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
     # threaded broadcast builds), so the signature stage (the shuffle/
     # CPU-dominant cost that grows with corpus size) is timed separately
     # as the representative 100 TB-regime number.
-    job()  # untimed warm-up (JIT, shuffle buffers)
-    sig_job()
+    #
+    # Stage ordering: sig FIRST, from a freshly-warmed JVM — measured
+    # (2026-08-20, 2M docs): running the full job before sig depresses
+    # the T32 sig wall 55.8 -> 88 s (heap/page-cache state left by the
+    # verify stage's shuffle + Python workers), which contaminates the
+    # full-vs-sig stage decomposition both modes rely on.
+    sig_job()  # untimed warm-up (JIT, shuffle buffers)
     wall, sig_wall = 1e9, 1e9
     # repeats knob: large corpora (SPARK_GRAFT_DEDUP_DOCS >= ~500k) take
     # minutes per job; one timed pass still gives a stable number there
@@ -223,11 +228,13 @@ def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_DEDUP_REPEATS", "2"))
     for _ in range(repeats):
         t0 = time.perf_counter()
-        job()
-        wall = min(wall, time.perf_counter() - t0)
-        t0 = time.perf_counter()
         sig_job()
         sig_wall = min(sig_wall, time.perf_counter() - t0)
+    job()  # untimed warm-up for the full pipeline
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        job()
+        wall = min(wall, time.perf_counter() - t0)
     print(json.dumps({"cpus": int(cpus), "wall_s": round(wall, 3),
                       "sig_wall_s": round(sig_wall, 3),
                       "docs_per_sec": round(n_docs / wall, 1),
