@@ -221,6 +221,14 @@ def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
     # verify stage's shuffle + Python workers), which contaminates the
     # full-vs-sig stage decomposition both modes rely on.
     sig_job()  # untimed warm-up (JIT, shuffle buffers)
+    if os.environ.get("SPARK_GRAFT_PARITY", "0") == "1":
+        # sibling settle: under sibling-parity the co-scheduled loops
+        # spend their first minutes materializing their own corpus +
+        # first pipeline iteration — a startup storm that is NOT the
+        # steady-state contention the parity discipline wants (measured:
+        # a timed sig overlapping it reads 491 s vs ~180 s steady at
+        # 2M docs T8). One extra untimed sig absorbs it.
+        sig_job()
     wall, sig_wall = 1e9, 1e9
     # repeats knob: large corpora (SPARK_GRAFT_DEDUP_DOCS >= ~500k) take
     # minutes per job; one timed pass still gives a stable number there
