@@ -1192,6 +1192,28 @@ def _q_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def _q_stream_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LINEAR-INTERPOLATION gap-fill drained over time-ranged
+    micro-batches (streaming/rollup_stream.stream_gap_fill,
+    method='interp'): emission waits for the right bracket, so append
+    mode needs no retraction; must hash-equal the BATCH gap_fill
+    interp oracle (same tier and purge)."""
+    import uuid
+
+    from streamevmon_spark.streaming import rollup_stream as S
+
+    path = _stream_input(spark, sf_dir)
+    out = f"/tmp/q_sgfi_{uuid.uuid4().hex[:8]}"
+    S.run_available_now_to_parquet(
+        S.stream_gap_fill(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            tier="1h", purge_gap_s=7200, method="interp",
+        ),
+        out,
+    )
+    return spark.read.parquet(out)
+
+
 def _q_stream_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Gorilla/DoD chunk writer drained over time-ranged
     micro-batches, then decoded: closed-bucket blobs must decode to
@@ -1882,6 +1904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked: r3 additions that sat past the
         # window (2) + every r4 addition ------------------------------
+        # newest r4: streaming linear-interpolation gap-fill (append
+        # mode, right-bracket-gated emission; batch-interp oracle)
+        "stream_gapfill_interp_1h": _q_stream_gapfill_interp,
         # newest r4: band-local LSH verification (applyInPandas verify
         # inside each band bucket — no global candidate relation; same
         # oracle as dedup_minhash_lsh, pinned row-identical)
@@ -2417,6 +2442,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_gapfill_locf_1h": oracles.gapfill_oracle(
             "1h", "locf", 7200
+        ),
+        "stream_gapfill_interp_1h": oracles.gapfill_oracle(
+            "1h", "interp", 7200
         ),
         "stream_event_groups": oracles.stream_event_groups_oracle(
             threshold=100.0, gap_s=10

@@ -432,6 +432,12 @@ def run_scaling(
                 for idx in range(3):
                     _sh.rmtree(f"/tmp/spark_sib_{idx}",
                                ignore_errors=True)
+                # settle: killing a sibling's python driver leaves its
+                # JVM to notice the dead gateway and exit on its own —
+                # seconds during which it still burns cores and flushes
+                # shuffle dirs. Measured: a T32 phase started right
+                # after the T8-parity phase read 20.7 s vs 9.4 s alone.
+                time.sleep(20)
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr[-4000:])
             raise RuntimeError(

@@ -625,14 +625,26 @@ def stream_gap_fill(
     stream: DataFrame,
     tier: str = "1h",
     purge_gap_s: int = 600,
+    method: str = "locf",
 ) -> DataFrame:
-    """Streaming LOCF gap-fill: the batch grid semantics
-    (operators/gapfill.gap_fill, method='locf') as a per-series
+    """Streaming gap-fill: the batch grid semantics
+    (operators/gapfill.gap_fill, same ``method``) as a per-series
     stateful operator. State = (last observation, next grid instant);
     each arriving non-lossy observation emits every grid point up to
-    and including its own timestamp — LOCF value when the gap to the
-    last observation is within ``purge_gap_s``, NULL ('none') beyond
-    it, the observation itself ('obs') when it sits on the grid.
+    and including its own timestamp.
+
+    - ``method='locf'``: carried value when the gap to the last
+      observation is within ``purge_gap_s``, NULL ('none') beyond it,
+      the observation itself ('obs') when it sits on the grid.
+    - ``method='interp'``: linear interpolation between the bracketing
+      observations when their mutual gap t1-t0 is within
+      ``purge_gap_s`` — emission naturally waits for the RIGHT
+      bracket: a grid point between two observations is only released
+      once the later one arrives (grid extends to floor(newest/step)),
+      so v1 is always in hand and no retraction is ever needed. The
+      carried state is exactly the same (last obs + grid cursor): the
+      left bracket is the carried observation when the gap spans
+      micro-batches.
 
     The batch grid ends at floor(max_ts/step) — at or before the last
     observation — so the streaming fold needs NO end-of-stream flush:
@@ -649,6 +661,8 @@ def stream_gap_fill(
     import numpy as np
     import pandas as pd
 
+    if method not in ("locf", "interp"):
+        raise ValueError(f"unknown gap-fill method {method!r}")
     step_us = TIERS[tier] * 1_000_000
     purge_us = purge_gap_s * 1_000_000
     _empty = pd.DataFrame(
@@ -703,22 +717,38 @@ def stream_gap_fill(
                 avals = np.concatenate(([last_val], vals))
             else:
                 ats, avals = ts, vals
+            # grid[-1] <= ts[-1] = ats[-1], so searchsorted-left never
+            # exceeds len(ats)-1: ats[idx] is the first obs >= g (the
+            # right bracket t1), ats[idx-1] the last obs < g.
             idx = np.searchsorted(ats, grid, side="left")
             safe = np.minimum(idx, len(ats) - 1)
             is_obs = ats[safe] == grid
             psafe = np.maximum(idx - 1, 0)
-            locf = (
-                (idx >= 1)
-                & ((grid - ats[psafe]) <= purge_us)
-                & ~is_obs
-            )
-            value = np.where(
-                is_obs, avals[safe], np.where(locf, avals[psafe], np.nan)
-            )
+            if method == "locf":
+                ok = (
+                    (idx >= 1)
+                    & ((grid - ats[psafe]) <= purge_us)
+                    & ~is_obs
+                )
+                value = np.where(
+                    is_obs, avals[safe], np.where(ok, avals[psafe], np.nan)
+                )
+            else:  # interp — batch operator's exact formula and guards
+                t0, v0 = ats[psafe], avals[psafe]
+                t1, v1 = ats[safe], avals[safe]
+                ok = (idx >= 1) & ((t1 - t0) <= purge_us) & ~is_obs
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    frac = (grid - t0).astype(np.float64) / (
+                        t1 - t0
+                    ).astype(np.float64)
+                    interp = v0 + (v1 - v0) * frac
+                value = np.where(
+                    is_obs, avals[safe], np.where(ok, interp, np.nan)
+                )
             vf = pd.array(value, dtype="Float64")
-            vf[~(is_obs | locf)] = pd.NA
-            method = np.where(
-                is_obs, "obs", np.where(locf, "locf", "none")
+            vf[~(is_obs | ok)] = pd.NA
+            fill_label = np.where(
+                is_obs, "obs", np.where(ok, method, "none")
             )
             next_grid = int(grid[-1]) + step_us
         state.update(
@@ -734,7 +764,7 @@ def stream_gap_fill(
                 "role": role,
                 "grid_ts": pd.to_datetime(grid, unit="us"),
                 "value_filled": vf,
-                "fill_method": method,
+                "fill_method": fill_label,
             }
         )
 

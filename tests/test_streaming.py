@@ -351,6 +351,49 @@ def test_stream_gap_fill_equals_batch(spark):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_stream_gap_fill_interp_equals_batch(spark):
+    """Streaming linear-interpolation gap-fill must equal the batch
+    interp operator row-for-row. The interesting structural property:
+    a grid point between two observations is only emitted once the
+    RIGHT bracket has arrived (possibly a later micro-batch), with the
+    left bracket carried as state — so append mode needs no
+    retraction and the values still match batch bit-for-bit."""
+    import uuid
+
+    import pandas as pd
+
+    from streamevmon_spark.data.transcripts import load_transcripts
+    from streamevmon_spark.operators.gapfill import gap_fill
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = S.materialize_transcripts(
+        spark, sf_dir, S.stream_input_dir(sf_dir)
+    )
+    name = f"t_sgfi_{uuid.uuid4().hex[:8]}"
+    S.run_available_now(
+        S.stream_gap_fill(
+            S.stream_transcripts(spark, path, max_files_per_trigger=1),
+            tier="1m", purge_gap_s=600, method="interp",
+        ),
+        name,
+        output_mode="append",
+    )
+    got = spark.table(name).toPandas()
+    exp = gap_fill(
+        load_transcripts(spark, sf_dir), "1m", method="interp",
+        purge_gap_s=600,
+    ).toPandas()
+    key = ["conv_id", "tool", "role", "grid_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["fill_method"] == "none").any()
+    assert (got["fill_method"] == "interp").any()
+    got["grid_ts"] = got["grid_ts"].astype("datetime64[us]")
+    exp["grid_ts"] = exp["grid_ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_stream_compress_chunks_equals_batch_closed_buckets(spark):
     """Streaming chunk writer drained over time-ranged micro-batches:
     every CLOSED (series, bucket) blob must be byte-identical to the
