@@ -316,6 +316,34 @@ def _q_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return downsample_lttb(load_transcripts(spark, sf_dir), 64)
 
 
+def _q_downsample_lttb_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB served from the compressed chunk store: raw non-null points
+    → Gorilla/DoD blobs → decode → identical LTTB kernel. Bit-equal to
+    the raw path (codec round-trip is exact; the store keys one point
+    per instant), so it hashes against the SAME recursive-CTE oracle
+    as `downsample_lttb`."""
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.chunks import compress_chunks
+    from streamevmon_spark.operators.downsample import (
+        downsample_lttb_from_store,
+    )
+    from streamevmon_spark.operators.rollup import EPOCH_NTZ
+
+    pts = (
+        load_transcripts(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(
+            "conv_id", "tool", "role",
+            F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias(
+                "ts_us"
+            ),
+            "value",
+        )
+    )
+    return downsample_lttb_from_store(compress_chunks(pts, "1d"), 64)
+
+
 def _q_trend_fit_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares trend per (series, 1h bucket): PromQL deriv +
     predict_linear from exact integer sums (operators/regress.trend_fit)."""
@@ -1907,6 +1935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # newest r4: streaming linear-interpolation gap-fill (append
         # mode, right-bracket-gated emission; batch-interp oracle)
         "stream_gapfill_interp_1h": _q_stream_gapfill_interp,
+        # newest r4: LTTB served from the compressed chunk store —
+        # decode is bit-exact, so the raw-path oracle applies verbatim
+        "downsample_lttb_store": _q_downsample_lttb_store,
         # newest r4: band-local LSH verification (applyInPandas verify
         # inside each band bucket — no global candidate relation; same
         # oracle as dedup_minhash_lsh, pinned row-identical)
@@ -2385,6 +2416,7 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "downsample_lttb": oracles.lttb_oracle(64),
+        "downsample_lttb_store": oracles.lttb_oracle(64),
         "downsample_m4": oracles.m4_oracle(),
         "session_stats": oracles.session_stats_oracle(1800),
         "role_transitions": oracles.role_transitions_oracle(),

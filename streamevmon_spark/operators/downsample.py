@@ -139,7 +139,13 @@ def downsample_lttb(df: DataFrame, n_out: int = 64) -> DataFrame:
         F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("x"),
         F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("y"),
     )
+    return partitionwise_apply(
+        pts, SERIES_KEY, ["x", "turn_idx"], _lttb_batch_fn(n_out),
+        _OUT_SCHEMA,
+    )
 
+
+def _lttb_batch_fn(n_out: int):
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
         from streamevmon_spark.operators._partitionwise import (
             group_starts,
@@ -159,8 +165,49 @@ def downsample_lttb(df: DataFrame, n_out: int = 64) -> DataFrame:
             )
         return pd.concat(outs, ignore_index=True)
 
+    return batch
+
+
+def downsample_lttb_from_store(
+    chunks: DataFrame, n_out: int = 64
+) -> DataFrame:
+    """LTTB served from the COMPRESSED chunk store
+    (operators/chunks.compress_chunks blobs) instead of raw points:
+    metadata-level pruning happens on the chunk relation upstream
+    (chunk_us / chunk_start, as in chunk_range_read), then blobs
+    decode in a vectorized pass and feed the identical LTTB kernel.
+    This is the dashboard read path at 10^12 turns — the raw table is
+    cold/expired under retention while the store keeps the points.
+
+    Exactness: the codec round-trip is bit-exact, so the decoded
+    (x, y) streams equal the raw path's. The store holds ONE point per
+    (series, instant) — a time-series store's key — so sorting by x
+    alone is the same total order as the raw path's (x, turn_idx)
+    tie-break, and the selection is bit-identical to
+    ``downsample_lttb`` on the stored points (gate query
+    `downsample_lttb_store` hashes against the SAME raw-path oracle;
+    NaN instants a gap-filled store uses for beyond-purge grid slots
+    are dropped exactly like the raw path's NULL-value turns).
+    """
+    from streamevmon_spark.operators.chunks import decompress_chunks
+
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3")
+    pts = (
+        decompress_chunks(chunks)
+        .where(~F.isnan(F.col("value")))
+        .select(
+            *SERIES_KEY,
+            F.expr(
+                f"timestampadd(MICROSECOND, ts_us, {EPOCH_NTZ})"
+            ).alias("ts"),
+            "value",
+            F.col("ts_us").alias("x"),
+            F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("y"),
+        )
+    )
     return partitionwise_apply(
-        pts, SERIES_KEY, ["x", "turn_idx"], batch, _OUT_SCHEMA
+        pts, SERIES_KEY, ["x"], _lttb_batch_fn(n_out), _OUT_SCHEMA
     )
 
 

@@ -116,6 +116,38 @@ def test_n_out_validation(spark, sf_dir):
         downsample_lttb(load_transcripts(spark, sf_dir), 2)
 
 
+def test_downsample_lttb_from_store_equals_raw(spark, sf_dir):
+    """The store-served path (compress → decode → kernel) must select
+    exactly the points the raw path selects: the codec round-trip is
+    bit-exact and the store keys one point per (series, instant), so
+    the x-only sort is the same total order as raw's (x, turn_idx)."""
+    import pandas as pd
+
+    from streamevmon_spark.operators.chunks import compress_chunks
+    from streamevmon_spark.operators.downsample import (
+        downsample_lttb_from_store,
+    )
+    from streamevmon_spark.operators.rollup import EPOCH_NTZ
+
+    df = load_transcripts(spark, sf_dir)
+    pts = df.where(F.col("value").isNotNull()).select(
+        "conv_id", "tool", "role",
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("ts_us"),
+        "value",
+    )
+    got = (
+        downsample_lttb_from_store(compress_chunks(pts, "1d"), 16)
+        .toPandas()
+    )
+    exp = downsample_lttb(df, 16).toPandas()
+    key = ["conv_id", "tool", "role", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    got["ts"] = got["ts"].astype("datetime64[us]")
+    exp["ts"] = exp["ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_downsample_m4_invariants(spark, sf_dir):
     df = load_transcripts(spark, sf_dir)
     out = downsample_m4(df).persist()
