@@ -481,6 +481,32 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(docs)
 
 
+def _q_downsample_m4_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 served from the compressed chunk store (decode → identical
+    four-window pick; see _q_downsample_lttb_store for the exactness
+    argument) — hashes against the SAME oracle as the raw path."""
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.chunks import compress_chunks
+    from streamevmon_spark.operators.downsample import (
+        downsample_m4_from_store,
+    )
+    from streamevmon_spark.operators.rollup import EPOCH_NTZ
+
+    pts = (
+        load_transcripts(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(
+            "conv_id", "tool", "role",
+            F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias(
+                "ts_us"
+            ),
+            "value",
+        )
+    )
+    return downsample_m4_from_store(compress_chunks(pts, "1d"))
+
+
 def _q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 downsample (first/last/bottom/top per series x 1h bucket,
     operators/downsample.downsample_m4) — the pixel-exact fixed-grid
@@ -1935,9 +1961,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # newest r4: streaming linear-interpolation gap-fill (append
         # mode, right-bracket-gated emission; batch-interp oracle)
         "stream_gapfill_interp_1h": _q_stream_gapfill_interp,
-        # newest r4: LTTB served from the compressed chunk store —
-        # decode is bit-exact, so the raw-path oracle applies verbatim
+        # newest r4: LTTB + M4 served from the compressed chunk store —
+        # decode is bit-exact, so the raw-path oracles apply verbatim
         "downsample_lttb_store": _q_downsample_lttb_store,
+        "downsample_m4_store": _q_downsample_m4_store,
         # newest r4: band-local LSH verification (applyInPandas verify
         # inside each band bucket — no global candidate relation; same
         # oracle as dedup_minhash_lsh, pinned row-identical)
@@ -2418,6 +2445,7 @@ def oracle_sql() -> dict[str, str]:
         "downsample_lttb": oracles.lttb_oracle(64),
         "downsample_lttb_store": oracles.lttb_oracle(64),
         "downsample_m4": oracles.m4_oracle(),
+        "downsample_m4_store": oracles.m4_oracle(),
         "session_stats": oracles.session_stats_oracle(1800),
         "role_transitions": oracles.role_transitions_oracle(),
         "context_growth": oracles.context_growth_oracle(512),

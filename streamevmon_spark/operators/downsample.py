@@ -233,8 +233,6 @@ def downsample_m4(
     floor(value*1e6) int64 quantization (exact cross-engine), the
     same domain the LTTB kernel uses.
     """
-    from pyspark.sql.window import Window
-
     pts = df.where(F.col("value").isNotNull()).select(
         *SERIES_KEY,
         "turn_idx",
@@ -242,7 +240,43 @@ def downsample_m4(
         "value",
         F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("x"),
         F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("y"),
-    ).withColumn(
+    )
+    return _m4_over_points(pts, width_us)
+
+
+def downsample_m4_from_store(
+    chunks: DataFrame, width_us: int = 3_600_000_000
+) -> DataFrame:
+    """M4 served from the compressed chunk store — the same
+    decode-then-identical-operator composition as
+    ``downsample_lttb_from_store`` (see its docstring for the
+    exactness argument). The store's one-point-per-instant key makes
+    the turn_idx tie-break unreachable — x is already unique within a
+    series — so a constant stands in for it and the four-window pick
+    is bit-identical to the raw path over the stored points."""
+    from streamevmon_spark.operators.chunks import decompress_chunks
+
+    pts = (
+        decompress_chunks(chunks)
+        .where(~F.isnan(F.col("value")))
+        .select(
+            *SERIES_KEY,
+            F.lit(0).alias("turn_idx"),
+            F.expr(
+                f"timestampadd(MICROSECOND, ts_us, {EPOCH_NTZ})"
+            ).alias("ts"),
+            "value",
+            F.col("ts_us").alias("x"),
+            F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("y"),
+        )
+    )
+    return _m4_over_points(pts, width_us)
+
+
+def _m4_over_points(pts: DataFrame, width_us: int) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pts = pts.withColumn(
         "bucket", F.expr(f"CAST(floor(x / {width_us}) AS BIGINT)")
     )
     part = [*SERIES_KEY, "bucket"]

@@ -148,6 +148,35 @@ def test_downsample_lttb_from_store_equals_raw(spark, sf_dir):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_downsample_m4_from_store_equals_raw(spark, sf_dir):
+    """Store-served M4 must pick exactly the raw path's points: codec
+    round-trip is bit-exact and unique instants make the turn_idx
+    tie-break unreachable."""
+    import pandas as pd
+
+    from streamevmon_spark.operators.chunks import compress_chunks
+    from streamevmon_spark.operators.downsample import (
+        downsample_m4_from_store,
+    )
+    from streamevmon_spark.operators.rollup import EPOCH_NTZ
+
+    df = load_transcripts(spark, sf_dir)
+    pts = df.where(F.col("value").isNotNull()).select(
+        "conv_id", "tool", "role",
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("ts_us"),
+        "value",
+    )
+    got = downsample_m4_from_store(compress_chunks(pts, "1d")).toPandas()
+    exp = downsample_m4(df).toPandas()
+    key = ["conv_id", "tool", "role", "bucket_start", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    for c in ("bucket_start", "ts"):
+        got[c] = got[c].astype("datetime64[us]")
+        exp[c] = exp[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_downsample_m4_invariants(spark, sf_dir):
     df = load_transcripts(spark, sf_dir)
     out = downsample_m4(df).persist()
