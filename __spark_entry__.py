@@ -481,6 +481,29 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(docs)
 
 
+def _q_detect_spike_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector replay from the compressed store — the reference's
+    InfluxHistoryConnection pattern (stored measurements re-enter the
+    detection DAG): ALL turns (lossy ones as the store's NaN encoding)
+    → Gorilla/DoD blobs → decode → spike detector, hashing against the
+    SAME oracle as the raw-path detect_spike."""
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.chunks import compress_chunks
+    from streamevmon_spark.operators.detect import detect_from_store
+    from streamevmon_spark.operators.rollup import EPOCH_NTZ
+
+    pts = load_transcripts(spark, sf_dir).select(
+        "conv_id", "tool", "role",
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("ts_us"),
+        "value",
+    )
+    return detect_from_store(
+        compress_chunks(pts, "1d"), "spike",
+        lag=5, threshold=2.0, influence=0.1, purge_s=86400,
+    )
+
+
 def _q_downsample_m4_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 served from the compressed chunk store (decode → identical
     four-window pick; see _q_downsample_lttb_store for the exactness
@@ -1965,6 +1988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode is bit-exact, so the raw-path oracles apply verbatim
         "downsample_lttb_store": _q_downsample_lttb_store,
         "downsample_m4_store": _q_downsample_m4_store,
+        # newest r4: detector replay from the compressed store (the
+        # reference's InfluxHistoryConnection pattern; raw-path oracle)
+        "detect_spike_store": _q_detect_spike_store,
         # newest r4: band-local LSH verification (applyInPandas verify
         # inside each band bucket — no global candidate relation; same
         # oracle as dedup_minhash_lsh, pinned row-identical)
@@ -2389,6 +2415,9 @@ def oracle_sql() -> dict[str, str]:
             max_history=5, percentile=0.1, threshold=10, purge_s=86400
         ),
         "detect_spike": oracles.spike_events_oracle(
+            lag=5, threshold=2.0, influence=0.1, purge_s=86400
+        ),
+        "detect_spike_store": oracles.spike_events_oracle(
             lag=5, threshold=2.0, influence=0.1, purge_s=86400
         ),
         "spike_details": oracles.spike_details_oracle(

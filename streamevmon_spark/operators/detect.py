@@ -104,6 +104,34 @@ def detect(df: DataFrame, detector: str, **params) -> DataFrame:
     )
 
 
+def detect_from_store(chunks: DataFrame, detector: str, **params) -> DataFrame:
+    """Replay COMPRESSED stored history into a detector — the
+    reference's InfluxHistoryConnection pattern
+    (connectors/influx/InfluxHistoryConnection.scala: stored
+    measurements re-enter the detection DAG), here from the Gorilla/DoD
+    chunk store (operators/chunks.py) instead of raw when raw is cold
+    or expired under retention.
+
+    Exactness vs the raw path: the codec round-trip is bit-exact and
+    the store keys one point per (series, instant) — NaN instants are
+    the store's lossy encoding and enter the kernels exactly as the
+    raw path's NULL-value turns do (both become float64 NaN in the
+    Arrow batch), and with unique instants the synthetic turn_idx=0
+    never decides an ordering — so the emitted events are
+    bit-identical and the raw-path oracles apply verbatim."""
+    from streamevmon_spark.operators.chunks import decompress_chunks
+
+    pts = decompress_chunks(chunks).select(
+        *SERIES_KEY,
+        F.expr(f"timestampadd(MICROSECOND, ts_us, {EPOCH_NTZ})").alias(
+            "ts"
+        ),
+        F.lit(0).alias("turn_idx"),
+        "value",
+    )
+    return detect(pts, detector, **params)
+
+
 def detect_windowed_distdiff(
     df: DataFrame, window_s: int = 3600, **params
 ) -> DataFrame:

@@ -235,6 +235,42 @@ def test_detect_operator_runs_and_is_partition_invariant(spark):
     assert ev1.equals(ev2), "detector output must not depend on partitioning"
 
 
+def test_detect_from_store_equals_raw(spark, sf_dir):
+    """Detector replay from the compressed chunk store must emit
+    exactly the raw-path events — for a value detector (spike) AND the
+    loss detector, whose lossy turns ride the store as NaN instants."""
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.data.transcripts import load_transcripts
+    from streamevmon_spark.operators.chunks import compress_chunks
+    from streamevmon_spark.operators.detect import detect, detect_from_store
+    from streamevmon_spark.operators.rollup import EPOCH_NTZ
+
+    df = load_transcripts(spark, sf_dir)
+    pts = df.select(
+        "conv_id", "tool", "role",
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("ts_us"),
+        "value",
+    )
+    chunks = compress_chunks(pts, "1d").localCheckpoint()
+    key = ["conv_id", "tool", "role", "ts", "description"]
+    for det, kw in (
+        ("spike", dict(lag=5, threshold=2.0, influence=0.1,
+                       purge_s=86400)),
+        ("loss", dict(loss_count=2, consecutive_count=2)),
+    ):
+        got = (
+            detect_from_store(chunks, det, **kw)
+            .toPandas().sort_values(key, ignore_index=True)
+        )
+        exp = (
+            detect(df, det, **kw)
+            .toPandas().sort_values(key, ignore_index=True)
+        )
+        assert len(exp) > 0, det
+        assert got.equals(exp), f"{det}: store replay != raw"
+
+
 def test_mode_oracle_matches_spark(spark, sf_dir):
     """The mode detector's closed-form SQL oracle (hysteresis = primary
     mode at the previous qualifying point) matches the sequential kernel
