@@ -481,6 +481,25 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(docs)
 
 
+def _q_rollup_store_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup tier rebuilt from the compressed chunk store (ALL turns,
+    lossy ones as NaN instants) — the re-aggregation path after raw
+    expires under retention; hashes against the SAME oracle as the
+    raw-path rollup_1m."""
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators.chunks import compress_chunks
+    from streamevmon_spark.operators.rollup import rollup_from_store
+    from streamevmon_spark.operators.rollup import EPOCH_NTZ
+
+    pts = load_transcripts(spark, sf_dir).select(
+        "conv_id", "tool", "role",
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("ts_us"),
+        "value",
+    )
+    return rollup_from_store(compress_chunks(pts, "1d"), "1m")
+
+
 def _q_detect_spike_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detector replay from the compressed store — the reference's
     InfluxHistoryConnection pattern (stored measurements re-enter the
@@ -1988,9 +2007,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode is bit-exact, so the raw-path oracles apply verbatim
         "downsample_lttb_store": _q_downsample_lttb_store,
         "downsample_m4_store": _q_downsample_m4_store,
-        # newest r4: detector replay from the compressed store (the
-        # reference's InfluxHistoryConnection pattern; raw-path oracle)
+        # newest r4: detector replay + tier rebuild from the compressed
+        # store (the reference's InfluxHistoryConnection pattern;
+        # raw-path oracles verbatim)
         "detect_spike_store": _q_detect_spike_store,
+        "rollup_1m_store": _q_rollup_store_1m,
         # newest r4: band-local LSH verification (applyInPandas verify
         # inside each band bucket — no global candidate relation; same
         # oracle as dedup_minhash_lsh, pinned row-identical)
@@ -2319,6 +2340,7 @@ def oracle_sql() -> dict[str, str]:
         "series_churn_1d": oracles.series_churn_oracle("1d"),
         "transcripts": oracles.transcripts_oracle(),
         "rollup_1m": oracles.rollup_oracle("1m"),
+        "rollup_1m_store": oracles.rollup_oracle("1m"),
         "rollup_1h": oracles.rollup_oracle("1h"),
         "rollup_1d": oracles.rollup_oracle("1d"),
         "rollup_onepass_1m": oracles.rollup_oracle("1m"),

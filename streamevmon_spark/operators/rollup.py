@@ -173,6 +173,39 @@ def rollup_tier(
     return rollup_tier_exact(df, tier)
 
 
+def rollup_from_store(
+    chunks: DataFrame,
+    tier: str = "1m",
+    max_exact_rows: int | None = DEFAULT_MAX_EXACT_ROWS,
+) -> DataFrame:
+    """Rebuild a rollup tier from the COMPRESSED chunk store
+    (operators/chunks.py blobs) — the re-aggregation path when raw has
+    expired under retention but the store keeps the points (the same
+    lifecycle the reference serves with InfluxHistoryConnection range
+    scans feeding its windowed aggregations).
+
+    Exactness vs the raw path: the codec round-trip is bit-exact; NaN
+    instants (the store's lossy encoding) map back to NULL values, so
+    lossy_count and the value aggregates see exactly the raw inputs;
+    and with the store's one-point-per-(series, instant) key the
+    synthetic turn_idx=0 never decides the latency lag's (ts,
+    turn_idx) order — the tier output is bit-identical and the
+    raw-path rollup oracle applies verbatim."""
+    from streamevmon_spark.operators.chunks import decompress_chunks
+
+    pts = decompress_chunks(chunks).select(
+        *SERIES_KEY,
+        F.expr(f"timestampadd(MICROSECOND, ts_us, {EPOCH_NTZ})").alias(
+            "ts"
+        ),
+        F.lit(0).alias("turn_idx"),
+        F.when(
+            F.isnan(F.col("value")), F.lit(None).cast("double")
+        ).otherwise(F.col("value")).alias("value"),
+    )
+    return rollup_tier(pts, tier, max_exact_rows)
+
+
 def rollup_tier_exact(df: DataFrame, tier: str = "1m") -> DataFrame:
     """Declarative tiered rollup — the exact/correctness path.
 

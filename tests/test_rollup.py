@@ -25,6 +25,36 @@ def test_rollup_matches_oracle(spark, sf_dir, tier):
     assert_matches_oracle(rollup_tier(df, tier), rollup_oracle(tier), sf_dir)
 
 
+def test_rollup_from_store_equals_raw(spark, sf_dir):
+    """Tier rebuild from the compressed chunk store must equal the
+    raw-path rollup bit-for-bit: codec round-trip exact, NaN instants
+    map back to NULL (lossy), unique instants make the synthetic
+    turn_idx harmless to the latency lag order."""
+    import pandas as pd
+
+    from streamevmon_spark.operators.chunks import compress_chunks
+    from streamevmon_spark.operators.rollup import (
+        EPOCH_NTZ,
+        rollup_from_store,
+    )
+
+    df = load_transcripts(spark, sf_dir)
+    pts = df.select(
+        "conv_id", "tool", "role",
+        F.expr(f"datediff(MICROSECOND, {EPOCH_NTZ}, ts)").alias("ts_us"),
+        "value",
+    )
+    got = rollup_from_store(compress_chunks(pts, "1d"), "1m").toPandas()
+    exp = rollup_tier(df, "1m").toPandas()
+    key = ["conv_id", "tool", "role", "window_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    for c in ("window_start", "window_end"):
+        got[c] = got[c].astype("datetime64[us]")
+        exp[c] = exp[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_inter_turn_latency_matches_oracle(spark, sf_dir):
     from streamevmon_spark.operators.rollup import add_inter_turn_latency
 
