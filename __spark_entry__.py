@@ -489,8 +489,7 @@ def _q_rollup_store_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from streamevmon_spark.operators.chunks import compress_chunks
-    from streamevmon_spark.operators.rollup import rollup_from_store
-    from streamevmon_spark.operators.rollup import EPOCH_NTZ
+    from streamevmon_spark.operators.rollup import EPOCH_NTZ, rollup_from_store
 
     pts = load_transcripts(spark, sf_dir).select(
         "conv_id", "tool", "role",
