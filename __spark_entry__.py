@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from streamevmon_spark import (  # noqa: E402
     amp2_oracles,
+    amp_oracles,
     docs_oracles,
     esmond_oracles,
     flow_oracles,
@@ -68,13 +69,69 @@ def _q_gapfill(method: str):
 
 
 def _q_chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed chunk blobs (Gorilla + delta-of-delta) — not SQL-
-    expressible; driver records rows-only. Round-trip exactness is
-    asserted in tests/test_chunks.py."""
-    from streamevmon_spark.operators.chunks import chunk_table
+    """Compressed chunk blobs (Gorilla + delta-of-delta), projected to
+    their decoded-face digest (r5: previously rows-only): per chunk,
+    the stored n_points metadata PLUS point count / first / last /
+    lossy count / µs-quantized value checksum recomputed by decoding
+    the blob. The oracle regenerates the same per-chunk aggregates
+    from the gap-fill closed form, so both the bucketing metadata and
+    the blob contents are hash-checked."""
+    from pyspark.sql import functions as F
 
-    return chunk_table(
+    from streamevmon_spark.operators.chunks import (
+        chunk_table,
+        decompress_chunks,
+    )
+
+    chunks = chunk_table(
         load_transcripts(spark, sf_dir), grid_tier="1h", chunk_tier="1d"
+    ).localCheckpoint()
+    pts = decompress_chunks(
+        chunks.select("conv_id", "tool", "role", "ts_dod", "values_gorilla")
+    )
+    day_us = 86400 * 1_000_000
+    decoded = (
+        pts.withColumn("chunk_us", F.expr(f"(ts_us div {day_us}) * {day_us}"))
+        .groupBy("conv_id", "tool", "role", "chunk_us")
+        .agg(
+            F.count("*").alias("point_count"),
+            F.expr(
+                f"timestampadd(MICROSECOND, min(ts_us), {R.EPOCH_NTZ})"
+            ).alias("ts_first"),
+            F.expr(
+                f"timestampadd(MICROSECOND, max(ts_us), {R.EPOCH_NTZ})"
+            ).alias("ts_last"),
+            # the Arrow boundary may map the in-blob NaN lossy sentinel
+            # back to NULL — and isnan(NULL) is false — so both forms
+            # count as lossy (the chunk_range_read defensive predicate)
+            F.expr(
+                "CAST(sum(CASE WHEN value IS NULL OR isnan(value) "
+                "THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("lossy_count"),
+            F.expr(
+                "CAST(sum(CASE WHEN value IS NULL OR isnan(value) "
+                "THEN 0 ELSE "
+                "CAST(floor(value * 1e6) AS BIGINT) END) AS BIGINT)"
+            ).alias("val_checksum"),
+        )
+    )
+    return (
+        chunks.select("conv_id", "tool", "role", "chunk_us", "n_points")
+        .join(decoded, ["conv_id", "tool", "role", "chunk_us"])
+        .select(
+            "conv_id",
+            "tool",
+            "role",
+            F.expr(
+                f"timestampadd(MICROSECOND, chunk_us, {R.EPOCH_NTZ})"
+            ).alias("chunk_start"),
+            F.col("n_points").cast("long").alias("n_points"),
+            "point_count",
+            "ts_first",
+            "ts_last",
+            "lossy_count",
+            "val_checksum",
+        )
     )
 
 
@@ -880,11 +937,31 @@ def _q_smooth_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sketch_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-digest latency sketches per 1h window — rows-only check;
-    quantile accuracy asserted in tests/test_chunks.py."""
-    from streamevmon_spark.operators.sketch_rollup import sketch_tier
+    """t-digest latency sketches per 1h window, projected to the
+    sketch's EXACT face (total weight + min/max are exact through the
+    blob round-trip) so the batch sketch build is hash-checked against
+    the raw-side SQL aggregate — r5: previously rows-only; quantile
+    accuracy stays pytest-asserted (tests/test_tdigest.py)."""
+    from pyspark.sql import functions as F
 
-    return sketch_tier(load_transcripts(spark, sf_dir), "1h")
+    from streamevmon_spark.operators.sketch_rollup import (
+        sketch_exact_stats,
+        sketch_tier,
+    )
+
+    return sketch_exact_stats(
+        sketch_tier(load_transcripts(spark, sf_dir), "1h")
+    ).select(
+        "conv_id",
+        "tool",
+        "role",
+        F.expr(
+            f"timestampadd(MICROSECOND, window_start_us, {R.EPOCH_NTZ})"
+        ).alias("window_start"),
+        "lat_count",
+        "lat_min_us",
+        "lat_max_us",
+    )
 
 
 def _q_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1533,12 +1610,26 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling at a second parameterization (512-byte frames,
+    every 3rd) projected to scalar digests — r5: previously rows-only
+    with raw binary frames; now hash-checked like media_frame_digests
+    but exercising different chunking/stride arithmetic."""
+    from pyspark.sql import functions as F
+
     from streamevmon_spark.operators.multimodal import (
         frame_sample,
         synth_media,
     )
 
-    return frame_sample(synth_media(_docs(spark, sf_dir)))
+    frames = frame_sample(
+        synth_media(_docs(spark, sf_dir)), frame_bytes=512, every_n=3
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").cast("int").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
 
 
 def _q_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1649,7 +1740,10 @@ def _q_graph_stream_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, meta = _graph_hops(spark, sf_dir)
     _, edges = _graph_dims(spark, sf_dir)
-    return G.stream_distances(edges, meta, max_depth=10)
+    # explicit all-pairs opt-in (r5: reachable_only became the
+    # default); the reference-shaped table with NULL unreachable pairs
+    return G.stream_distances(edges, meta, max_depth=10,
+                              reachable_only=False)
 
 
 def _q_graph_stream_distances_cc(
@@ -1805,6 +1899,68 @@ def _q_amp2_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _amp_tokens_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMP v1 flat splitLineProtocol tokens (line_id, measurement, kvs,
+    time), parsed ONCE per session and localCheckpointed — the whole
+    AMP v1 family extracts from this one materialized parse (same
+    session-share trick as the amp2 family)."""
+    from streamevmon_spark.sources import amp as AM
+
+    key = (spark.sparkContext.applicationId, sf_dir, "amp_tokens")
+    if key not in _AMP2_LINES_CACHE:
+        lines = AM.synth_amp_lines(_events(spark, sf_dir))
+        _AMP2_LINES_CACHE[key] = AM.amp_tokens(lines).localCheckpoint()
+    return _AMP2_LINES_CACHE[key]
+
+
+def _q_amp_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMP v1 createMeasurement over all 5 line-protocol types (ICMP /
+    DNS / HTTP / TCPPing / TraceroutePathlen): one-pass dispatch on
+    the measurement name with per-type required-field rejection and
+    defaultValue/isLossy derivation (reference
+    measurements/traits/InfluxMeasurementFactory.scala:225-241)."""
+    from streamevmon_spark.sources import amp as AM
+
+    return AM.amp_typed(_amp_tokens_shared(spark, sf_dir))
+
+
+def _q_amp_icmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-typed AMP ICMP relation incl. the getRtts array parse
+    (';'-canon scalar), trailing-'i' ints and the loss-based isLossy
+    (reference measurements/amp/ICMP.scala)."""
+    from streamevmon_spark.sources import amp as AM
+
+    return AM.amp_table(_amp_tokens_shared(spark, sf_dir), "icmp")
+
+
+def _q_amp_dns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-typed AMP DNS relation: 7 Scala-toBoolean flags (the
+    invalid-boolean line-rejection class included), 11 optional ints,
+    lossrate-based isLossy (reference measurements/amp/DNS.scala)."""
+    from streamevmon_spark.sources import amp as AM
+
+    return AM.amp_table(_amp_tokens_shared(spark, sf_dir), "dns")
+
+
+def _q_amp_tcpping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-typed AMP TCPPing relation (ICMP-shaped + icmperrors;
+    reference measurements/amp/TCPPing.scala)."""
+    from streamevmon_spark.sources import amp as AM
+
+    return AM.amp_table(_amp_tokens_shared(spark, sf_dir), "tcpping")
+
+
+def _q_amp_rich_icmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RichICMP: the typed ICMP relation broadcast-enriched with the
+    Postgres ICMPMeta dim (meta columns before base fields, stream
+    re-keyed from meta — reference measurements/amp/RichICMP.scala,
+    InfluxMeasurementFactory.enrichMeasurement:243-268)."""
+    from streamevmon_spark.sources import amp as AM
+
+    base = AM.amp_table(_amp_tokens_shared(spark, sf_dir), "icmp")
+    return AM.enrich_amp(base, AM.synth_amp_meta(spark, "icmp"))
+
+
 # topological linkage: groups whose streams are within this quirk-metric
 # distance (2 x src-src hops) are linked; 6 keeps direct-backbone
 # neighbours and cuts anon-detour streams, so the filter is selective
@@ -1823,7 +1979,8 @@ def _q_graph_topo_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, meta = _graph_hops(spark, sf_dir)
     _, edges = _graph_dims(spark, sf_dir)
-    dist = G.stream_distances(edges, meta, max_depth=10)
+    dist = G.stream_distances(edges, meta, max_depth=10,
+                              reachable_only=False)
     ev = threshold_events(load_transcripts(spark, sf_dir), threshold=100.0)
     groups = group_events_temporal(
         ev, max_interval_s=10, max_duration_s=7200
@@ -1997,6 +2154,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # them, most-stale first. The union of r01..r04 driver records then
     # covers every registered query.
     return {
+        # --- r5 FRONT: the only 3 of the r4 surface with no driver
+        # CORRECTNESS record ever (r4 verdict task #1) — the 1d
+        # tier-parameter twins that sat just past the r4 window
+        "sketch_incremental_1d": _q_sketch_incremental("1d"),
+        "cascade_incremental_1d": _q_cascade_incremental("1d"),
+        "stream_cascade_1d": _q_stream_cascade("1d"),
+        # --- new r5: the AMP v1 typed measurement family (r4 verdict
+        # task #2) — ICMP / DNS / HTTP / TCPPing / TraceroutePathlen
+        # from flat splitLineProtocol tokens + RichICMP meta enrichment
+        "amp_typed": _q_amp_typed,
+        "amp_icmp": _q_amp_icmp,
+        "amp_dns": _q_amp_dns,
+        "amp_tcpping": _q_amp_tcpping,
+        "amp_rich_icmp": _q_amp_rich_icmp,
         # --- never driver-checked: r3 additions that sat past the
         # window (2) + every r4 addition ------------------------------
         # newest r4: streaming linear-interpolation gap-fill (append
@@ -2109,14 +2280,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_ewma": _q_smooth_ewma,
         "hll_incremental_1h": _q_hll_incremental("1h"),
         "hll_incremental_1d": _q_hll_incremental("1d"),
-        # --- never driver-checked, deliberately just OUTSIDE the
-        # 50-query window (53 candidates, 50 slots): the 1d
-        # tier-parameter twins of in-window 1h queries — identical
-        # refresh/maintenance code paths, different tier constant —
-        # lose the least by waiting for the round-5 rotation
-        "sketch_incremental_1d": _q_sketch_incremental("1d"),
-        "cascade_incremental_1d": _q_cascade_incremental("1d"),
-        "stream_cascade_1d": _q_stream_cascade("1d"),
         # --- r03-green, kept in-window (most recently changed code) --
         # topology-graph family (reference events/grouping/graph/*):
         # traceroute paths -> vertex/edge relations -> prune + largest
@@ -2403,6 +2566,14 @@ def oracle_sql() -> dict[str, str]:
         "chunk_roundtrip": oracles.chunk_roundtrip_oracle(
             "1h", "interp", 7200
         ),
+        # r5: the former rows-only trio, now oracle-checked via digest
+        # projections (decoded-face chunk digest / sketch exact face /
+        # frame md5s at a second parameterization)
+        "chunk_table": oracles.chunk_table_digest_oracle("1h", "1d"),
+        "sketch_1h": oracles.sketch_exact_stats_oracle("1h"),
+        "media_frame_sample": docs_oracles.media_frame_digests_oracle(
+            frame_bytes=512, every_n=3
+        ),
         # compaction decodes to the same grid, so the same oracle; the
         # stats twin hash-checks the merged per-bucket metadata
         "chunk_compact_roundtrip": oracles.chunk_roundtrip_oracle(
@@ -2631,6 +2802,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_stream_distances": graph_oracles.stream_distances_oracle(10),
         "graph_stream_distances_cc":
             graph_oracles.stream_distances_cc_oracle(10),
+        "amp_typed": amp_oracles.amp_typed_oracle(),
+        "amp_icmp": amp_oracles.amp_icmp_oracle(),
+        "amp_dns": amp_oracles.amp_dns_oracle(),
+        "amp_tcpping": amp_oracles.amp_tcpping_oracle(),
+        "amp_rich_icmp": amp_oracles.amp_rich_icmp_oracle(),
         "amp2_typed": amp2_oracles.amp2_typed_oracle(),
         "amp2_throughput": amp2_oracles.amp2_throughput_oracle(),
         "amp2_latency": amp2_oracles.amp2_latency_oracle(),

@@ -41,6 +41,39 @@ CHUNK_SCHEMA = (
 _GROUP_KEYS = [*SERIES_KEY, "__chunk"]
 
 
+def _canonicalize_instants(
+    pdf: pd.DataFrame, starts: np.ndarray
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """Enforce the store's one-point-per-(series, instant) key at
+    encode time. Every *_from_store read (LTTB's x-only sort, M4 /
+    detect / rollup's synthetic turn_idx=0) relies on this invariant;
+    without it a duplicate-instant input would make store-served
+    results nondeterministic vs the raw path's (x, turn_idx) order.
+    With a ``__turn`` column present (compress_chunks(turn_col=...))
+    duplicates resolve to the max-turn row — the same arg_max(value,
+    turn_idx) canonicalization the batch obs paths use; without one,
+    duplicate instants are a contract violation and raise."""
+    counts = np.diff(np.concatenate([starts, [len(pdf)]]))
+    gid = np.repeat(np.arange(len(starts)), counts)
+    t = pdf["__ts"].to_numpy(np.int64)
+    dup_next = np.zeros(len(pdf), dtype=bool)
+    if len(pdf) > 1:
+        dup_next[:-1] = (gid[1:] == gid[:-1]) & (t[1:] == t[:-1])
+    if not dup_next.any():
+        return pdf, starts
+    if "__turn" not in pdf.columns:
+        raise ValueError(
+            "compress_chunks: duplicate (series, instant) points — the "
+            "chunk store key is one point per instant; canonicalize "
+            "(e.g. arg_max(value, turn_idx)) or pass turn_col="
+        )
+    # rows sorted by (__ts, __turn) asc inside each group: dropping
+    # every row whose successor shares its (group, instant) keeps the
+    # max-turn row per instant
+    pdf = pdf.iloc[np.flatnonzero(~dup_next)].reset_index(drop=True)
+    return pdf, group_starts(pdf, _GROUP_KEYS)
+
+
 def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     from streamevmon_spark.functions.codecs import (
         dod_encode_many,
@@ -48,6 +81,7 @@ def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
     starts = group_starts(pdf, _GROUP_KEYS)
+    pdf, starts = _canonicalize_instants(pdf, starts)
     t = pdf["__ts"].to_numpy(np.int64)
     v = pdf["__val"].to_numpy(np.float64)
     heads = pdf.iloc[starts]
@@ -70,17 +104,31 @@ def compress_chunks(
     chunk_tier: str = "1d",
     ts_col: str = "ts_us",
     value_col: str = "value",
+    turn_col: str | None = None,
 ) -> DataFrame:
     """points(series key, ts_us, value) → one row per (series, chunk):
-    (…, chunk_us, n_points, ts_dod, values_gorilla)."""
+    (…, chunk_us, n_points, ts_dod, values_gorilla).
+
+    The store key is ONE point per (series, instant) — enforced at
+    encode time (see _canonicalize_instants): duplicate instants raise
+    unless ``turn_col`` names a tie-break column, in which case the
+    max-``turn_col`` row wins (the obs-path arg_max canonicalization).
+    """
     chunk_us = TIERS[chunk_tier] * 1_000_000
-    prepped = points.select(
+    cols = [
         *SERIES_KEY,
         F.col(ts_col).alias("__ts"),
         F.col(value_col).cast("double").alias("__val"),
-    ).withColumn("__chunk", F.expr(f"(__ts div {chunk_us}) * {chunk_us}"))
+    ]
+    sort_keys = ["__ts"]
+    if turn_col is not None:
+        cols.append(F.col(turn_col).alias("__turn"))
+        sort_keys = ["__ts", "__turn"]
+    prepped = points.select(*cols).withColumn(
+        "__chunk", F.expr(f"(__ts div {chunk_us}) * {chunk_us}")
+    )
     return partitionwise_apply(
-        prepped, _GROUP_KEYS, ["__ts"], _encode_batch, CHUNK_SCHEMA
+        prepped, _GROUP_KEYS, sort_keys, _encode_batch, CHUNK_SCHEMA
     )
 
 

@@ -195,7 +195,11 @@ def downsample_lttb_from_store(
         raise ValueError("n_out must be >= 3")
     pts = (
         decompress_chunks(chunks)
-        .where(~F.isnan(F.col("value")))
+        # the Arrow boundary may map the in-blob NaN lossy sentinel
+        # back to NULL, and isnan(NULL) is false — mirror
+        # chunk_range_read's defensive predicate so a gap-filled store
+        # drops unfilled instants in either representation
+        .where(~(F.col("value").isNull() | F.isnan(F.col("value"))))
         .select(
             *SERIES_KEY,
             F.expr(
@@ -258,7 +262,11 @@ def downsample_m4_from_store(
 
     pts = (
         decompress_chunks(chunks)
-        .where(~F.isnan(F.col("value")))
+        # the Arrow boundary may map the in-blob NaN lossy sentinel
+        # back to NULL, and isnan(NULL) is false — mirror
+        # chunk_range_read's defensive predicate so a gap-filled store
+        # drops unfilled instants in either representation
+        .where(~(F.col("value").isNull() | F.isnan(F.col("value"))))
         .select(
             *SERIES_KEY,
             F.lit(0).alias("turn_idx"),

@@ -619,12 +619,19 @@ def bfs_distances(
     return visited
 
 
+# All-pairs stream_distances emits O(n^2) rows in the stream dimension;
+# above this many streams that is a scale bug, not a query — the guard
+# raises and points at the reachable_only path (same bounded-probe
+# pattern as _collect_small_sym: limit(n+1) stops the scan early).
+ALL_PAIRS_MAX_STREAMS = 10_000
+
+
 def stream_distances(
     edges: DataFrame,
     meta: DataFrame,
     max_depth: int = 10,
     mirror_reference_quirk: bool = True,
-    reachable_only: bool = False,
+    reachable_only: bool = True,
 ) -> DataFrame:
     """DistanceBetweenStreams for every stream pair (reference:
     grouping/DistanceBetweenStreams.scala:69-87, driven by
@@ -639,14 +646,17 @@ def stream_distances(
     False computes d(src_a,src_b) + d(dst_a,dst_b). Unreachable pairs
     (the reference would throw on ``.get``) yield NULL distance.
 
-    ``reachable_only=True`` is the scale path: pair generation is driven
-    by the BFS distance relation itself (equi-joins only — no meta x
-    meta cross join), so work and output are proportional to the number
-    of co-reachable pairs instead of all O(n^2) stream pairs; pairs
-    whose sources are not connected within ``max_depth`` are simply
-    absent. The default mirrors the reference (every pair, NULL when
-    unreachable) and is fine while the stream dimension is bounded —
-    the cache in the reference recomputes exactly that table."""
+    ``reachable_only=True`` (the DEFAULT — the scale path, r5): pair
+    generation is driven by the BFS distance relation itself
+    (equi-joins only — no meta x meta cross join), so work and output
+    are proportional to the number of co-reachable pairs instead of
+    all O(n^2) stream pairs; pairs whose sources are not connected
+    within ``max_depth`` are simply absent. ``reachable_only=False``
+    opts back into the reference's exact table (every pair, NULL when
+    unreachable — the cache in the reference recomputes exactly that)
+    and is guarded: a bounded probe raises above
+    ALL_PAIRS_MAX_STREAMS streams instead of planning an O(n^2)
+    crossJoin."""
     srcs = meta.select(
         "stream", F.col("source").alias("root")
     )
@@ -688,6 +698,13 @@ def stream_distances(
             "stream_a",
             "stream_b",
             F.expr("CAST(dist + d_dst AS INT)").alias("distance"),
+        )
+    probe = meta.select("stream").limit(ALL_PAIRS_MAX_STREAMS + 1).collect()
+    if len(probe) > ALL_PAIRS_MAX_STREAMS:
+        raise ValueError(
+            f"stream_distances: all-pairs mode over more than "
+            f"{ALL_PAIRS_MAX_STREAMS} streams is O(n^2) rows — use "
+            "reachable_only=True (the default) for the equi-join path"
         )
     m = F.broadcast(meta.select("stream", "source", "destination"))
     pairs = (

@@ -207,6 +207,38 @@ def chunk_roundtrip_oracle(
     )
 
 
+def chunk_table_digest_oracle(
+    grid_tier: str, chunk_tier: str, method: str = "interp",
+    purge_gap_s: int = 600,
+) -> str:
+    """Decoded-face digest oracle for the chunk table itself: the
+    gap-fill closed form re-bucketed per chunk with the same per-chunk
+    aggregates the gate query recomputes by decoding the blobs
+    (n_points metadata, decoded count, first/last instant, lossy
+    count, µs-quantized value checksum). Hash-equality proves both the
+    chunk bucketing/metadata and the Gorilla+DoD blob contents."""
+    chunk_us = TIERS[chunk_tier] * 1_000_000
+    inner = gapfill_oracle(grid_tier, method, purge_gap_s)
+    return f"""
+WITH g AS ({inner})
+SELECT conv_id, tool, role,
+    make_timestamp((epoch_us(grid_ts) // {chunk_us}) * {chunk_us})
+        AS chunk_start,
+    count(*) AS n_points,
+    count(*) AS point_count,
+    make_timestamp(min(epoch_us(grid_ts))) AS ts_first,
+    make_timestamp(max(epoch_us(grid_ts))) AS ts_last,
+    CAST(sum(CASE WHEN value_filled IS NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS lossy_count,
+    CAST(sum(CASE WHEN value_filled IS NULL THEN 0
+        ELSE CAST(floor(value_filled * 1e6) AS BIGINT) END)
+        AS BIGINT) AS val_checksum
+FROM g
+GROUP BY conv_id, tool, role,
+    (epoch_us(grid_ts) // {chunk_us}) * {chunk_us}
+"""
+
+
 def chunk_compact_stats_oracle(
     tier: str, method: str, chunk_tier: str = "1d", purge_gap_s: int = 600
 ) -> str:

@@ -210,3 +210,48 @@ def test_chunk_range_read_prunes_before_decode(spark, sf_dir):
     filt_at = plan.find("chunk_us")
     assert decode_at != -1 and filt_at != -1
     assert filt_at > decode_at, plan
+
+
+def test_compress_chunks_duplicate_instants_raise(spark):
+    """The store key is one point per (series, instant): duplicate
+    instants without a tie-break column violate the contract and raise
+    at encode time (every *_from_store read relies on the invariant)."""
+    import pytest as _pytest
+
+    rows = [
+        ("c1", "t", "r", 1_000_000, 1.0, 0),
+        ("c1", "t", "r", 1_000_000, 2.0, 1),
+        ("c1", "t", "r", 2_000_000, 3.0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, tool string, role string, ts_us long, "
+        "value double, turn_idx int",
+    )
+    with _pytest.raises(Exception, match="duplicate"):
+        decompress_chunks(compress_chunks(df, "1d")).collect()
+
+
+def test_compress_chunks_turn_col_dedup_keeps_max_turn(spark):
+    """With turn_col, duplicate instants canonicalize to the max-turn
+    row — the arg_max(value, turn_idx) convention of the batch obs
+    paths — and unique inputs are untouched."""
+    rows = [
+        ("c1", "t", "r", 1_000_000, 1.0, 0),
+        ("c1", "t", "r", 1_000_000, 2.0, 1),
+        ("c1", "t", "r", 2_000_000, 3.0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, tool string, role string, ts_us long, "
+        "value double, turn_idx int",
+    )
+    out = decompress_chunks(
+        compress_chunks(df, "1d", turn_col="turn_idx")
+    ).collect()
+    assert sorted((r.ts_us, r.value) for r in out) == [
+        (1_000_000, 2.0), (2_000_000, 3.0)]
+    uniq = df.where("turn_idx != 1")
+    out2 = decompress_chunks(compress_chunks(uniq, "1d")).collect()
+    assert sorted((r.ts_us, r.value) for r in out2) == [
+        (1_000_000, 1.0), (2_000_000, 3.0)]

@@ -158,7 +158,8 @@ def test_apply_merges_relabels_and_rolls_up(spark):
 
 def test_stream_distances_symmetric_quirk(edges, spark, events):
     meta = G.synth_traceroute_meta(events)
-    d = G.stream_distances(edges, meta, max_depth=10).toPandas()
+    d = G.stream_distances(edges, meta, max_depth=10,
+                           reachable_only=False).toPandas()
     # reference quirk: distance = 2 * d(src_a, src_b) -> always even
     vals = d["distance"].dropna()
     assert (vals % 2 == 0).all()
@@ -174,7 +175,8 @@ def test_stream_distances_reachable_only_matches_non_null(
     plan must contain no cross/nested-loop join — pair generation is
     the BFS relation itself."""
     meta = G.synth_traceroute_meta(events)
-    full = G.stream_distances(edges, meta, max_depth=10).toPandas()
+    full = G.stream_distances(edges, meta, max_depth=10,
+                              reachable_only=False).toPandas()
     cc_df = G.stream_distances(
         edges, meta, max_depth=10, reachable_only=True
     )
@@ -211,3 +213,21 @@ def test_no_cartesian_in_graph_plans(hops, edges):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_all_pairs_guard_raises_above_threshold(
+    edges, spark, events, monkeypatch
+):
+    """All-pairs mode is guarded by a bounded probe (limit(n+1), same
+    pattern as _collect_small_sym): above ALL_PAIRS_MAX_STREAMS it
+    raises and points at the reachable_only path instead of planning
+    an O(n^2) crossJoin."""
+    meta = G.synth_traceroute_meta(events)
+    monkeypatch.setattr(G, "ALL_PAIRS_MAX_STREAMS", 2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reachable_only"):
+        G.stream_distances(edges, meta, max_depth=10,
+                           reachable_only=False)
+    # the scale path is untouched by the guard
+    assert G.stream_distances(edges, meta, max_depth=10).count() >= 0
