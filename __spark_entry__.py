@@ -1632,6 +1632,19 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over a deterministic generated-BMP corpus —
+    the non-fake decode path (feature-detected Pillow, pure-NumPy BMP
+    fallback in this sandbox), hash-checked against the closed-form
+    pixel-statistics oracle (no image bytes on the oracle side)."""
+    from streamevmon_spark.operators.multimodal import (
+        decode_image,
+        synth_bmp_media,
+    )
+
+    return decode_image(synth_bmp_media(_docs(spark, sf_dir)))
+
+
 def _q_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -2168,6 +2181,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amp_dns": _q_amp_dns,
         "amp_tcpping": _q_amp_tcpping,
         "amp_rich_icmp": _q_amp_rich_icmp,
+        # --- new r5: real image decode over a generated-BMP corpus
+        # (r4 verdict task #6) + the former rows-only trio, whose new
+        # digest oracles need a driver record (r4 verdict task #5)
+        "media_decode_real": _q_media_decode_real,
+        "chunk_table": _q_chunk_table,
+        "sketch_1h": _q_sketch_1h,
+        "media_frame_sample": _q_frame_sample,
         # --- never driver-checked: r3 additions that sat past the
         # window (2) + every r4 addition ------------------------------
         # newest r4: streaming linear-interpolation gap-fill (append
@@ -2409,7 +2429,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_docs("textstats", "token_counts"),
         "quality_scores": _q_docs("textstats", "quality_scores"),
         "lang_id": _q_docs("textstats", "lang_id"),
-        "media_frame_sample": _q_frame_sample,
         "transcripts": _q_transcripts,
         "rollup_1m": _q_rollup("1m"),
         "cascade_exact_1d": _q_cascade_exact("1d"),
@@ -2450,11 +2469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_1h": _q_gapfill("locf"),
         "gapfill_interp_1h": _q_gapfill("interp"),
         "gapfill_pandas_interp_1h": _q_gapfill_pandas,
-        "chunk_table": _q_chunk_table,
         # codec round-trip as a hard gate check: encode→decode must equal
         # the gap-fill oracle bit-for-bit
         "chunk_roundtrip": _q_chunk_roundtrip,
-        "sketch_1h": _q_sketch_1h,
         # events layer (reference detectors + post-processing)
         "threshold_events": _q_threshold,
         "single_event_groups": _q_single_event_groups,
@@ -2748,6 +2765,7 @@ def oracle_sql() -> dict[str, str]:
         # digest twin below is the hash-checked variant
         "media_decode_fake": docs_oracles.media_decode_oracle(),
         "media_frame_digests": docs_oracles.media_frame_digests_oracle(),
+        "media_decode_real": docs_oracles.media_decode_real_oracle(),
         # corpus-quality rule family (operators/quality.py)
         "quality_gopher": docs_oracles.gopher_flags_oracle(),
         "gram_repetition": docs_oracles.gram_repetition_oracle(),

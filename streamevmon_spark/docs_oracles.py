@@ -520,6 +520,37 @@ FROM f
 """
 
 
+def media_decode_real_oracle() -> str:
+    """Closed-form mirror of decode_image over the synth_bmp_media
+    corpus (operators/multimodal.synth_bmp_media): the BMP pixels are
+    channel-equal v(x, y) = (doc_id*3 + y*7 + x*11) % 256, so the
+    Rec.601 integer luma is v itself and the decoded pixel_mean is the
+    plain average of v over the w x h grid — regenerated here without
+    touching any image bytes, which is exactly what makes a REAL
+    decoder drift detectable."""
+    return """
+WITH dims AS (
+    SELECT doc_id AS media_id,
+           13 + doc_id % 7 AS w,
+           5 + doc_id % 6 AS h
+    FROM documents
+),
+ys AS (
+    SELECT media_id, w, h, unnest(range(0, h)) AS yy FROM dims
+),
+px AS (
+    SELECT media_id, w, h, yy, unnest(range(0, w)) AS xx FROM ys
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       'RGB' AS mode,
+       AVG((media_id * 3 + yy * 7 + xx * 11) % 256) AS pixel_mean
+FROM px
+GROUP BY media_id, w, h
+"""
+
+
 # --------------------------------------------------------------------------
 # sampling / normalization / clustering (operators/sampling.py, dedup.py)
 

@@ -287,6 +287,44 @@ def frame_sample(
     )
 
 
+def synth_bmp_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL 24-bit BMP corpus from the documents table:
+    per doc, w = 13 + doc_id % 7 (odd widths exercise BMP row
+    padding), h = 5 + doc_id % 6, and every pixel's three channels all
+    carry v(x, y) = (doc_id*3 + y*7 + x*11) % 256 — channel-equal, so
+    the Rec.601 integer luma equals v exactly and the decoded
+    pixel_mean has a closed-form SQL mirror
+    (docs_oracles.media_decode_real_oracle). Built with the same
+    ``encode_bmp`` the real-decoder tests round-trip; decoding goes
+    through the full feature-detected path (Pillow when importable,
+    pure-NumPy BMP fallback otherwise) with identical results."""
+
+    def run(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 13 + did % 7
+                h = 5 + did % 6
+                y, x = np.mgrid[0:h, 0:w]
+                v = ((did * 3 + y * 7 + x * 11) % 256).astype(np.uint8)
+                blobs.append(encode_bmp(np.stack([v, v, v], axis=-1)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "image",
+                    "payload": blobs,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize hook: updates the typed metadata (real) and would re-encode
     the payload (stubbed — payload passes through untouched; a real

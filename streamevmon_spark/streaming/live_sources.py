@@ -45,6 +45,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # the landing-batch schema == synth_esmond_entries' relation, so every
 # consumer of the synthetic generator reads the live landing dir
@@ -317,3 +318,97 @@ class SubscriptionListener:
         if self._thread is not None:
             self._thread.join(timeout=5.0)
         self._sock.close()
+
+
+# -- transcript wire format (push-subscription payload) ----------------
+#
+# One line per turn, the engine's own line-protocol dialect for pushed
+# transcript streams (the InfluxAmpSourceFunction subscription payload
+# analogue, flink/sources/InfluxAmpSourceFunction.scala:179-230 —
+# there the pushed lines are AMP measurements; here they are transcript
+# turns): ``transcripts,conv_id=<c>,tool=<t>,role=<r>
+# turn_idx=<n>i[,value=<v>] <epoch_us>``. The trailing timestamp is
+# MICROSECONDS (not the AMP family's nanoseconds) so the wire
+# round-trips the transcript ts exactly — print(parse(x)) == x is what
+# the live pipeline's byte-equal-to-batch guarantee rests on. Lossy
+# turns omit the value field. Both directions are pure projections, so
+# they run on batch AND streaming relations.
+
+def transcript_wire_lines(df: DataFrame) -> DataFrame:
+    """transcripts rows -> one wire line per turn (column ``value``)."""
+    from streamevmon_spark.operators.rollup import EPOCH_NTZ
+
+    return df.select(
+        F.expr(
+            "concat('transcripts,conv_id=', conv_id, ',tool=', tool, "
+            "',role=', role, ' turn_idx=', turn_idx, 'i', "
+            "CASE WHEN value IS NULL THEN '' "
+            "ELSE concat(',value=', CAST(value AS STRING)) END, ' ', "
+            f"CAST(datediff(MICROSECOND, {EPOCH_NTZ}, ts) AS STRING))"
+        ).alias("value")
+    )
+
+
+def parse_transcript_wire(lines: DataFrame) -> DataFrame:
+    """Wire lines (text relation, column ``value``) -> typed transcript
+    rows (conv_id, turn_idx, role, text, tool, ts, value). Same flat
+    quote-parity splitLineProtocol walk and per-field conversion rules
+    as the AMP v1 family (sources/amp.py) — required tags/fields
+    missing or unconvertible drop the line whole — but with µs
+    timestamps and no ns->ms truncation. ``text`` lands NULL: the wire
+    carries the numeric stream; the cascade store never reads text."""
+    from streamevmon_spark.operators.rollup import EPOCH_NTZ
+    from streamevmon_spark.sources.amp import _field_exprs, _named
+    from streamevmon_spark.sources.measurements import _UNQUOTED
+
+    toks = (
+        "CASE WHEN NOT contains(value, '\"') "
+        "THEN split(value, '[ ,]', -1) "
+        f"ELSE split(value, '[ ,]{_UNQUOTED}', -1) END"
+    )
+    parsed = (
+        lines.select(F.expr(toks).alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.col("t").getItem(0).alias("measurement"),
+            F.expr("slice(t, 2, size(t) - 2)").alias("kvs"),
+            F.expr("try_cast(element_at(t, -1) AS BIGINT)").alias(
+                "time_us"
+            ),
+        )
+        .where(
+            (F.col("measurement") == "transcripts")
+            & F.col("time_us").isNotNull()
+        )
+    )
+    turn_idx, turn_ok = _field_exprs("turn_idx", "int_req")
+    value, value_ok = _field_exprs("value", "double_opt")
+    required = [F.expr(_named(k)) for k in ("conv_id", "tool", "role")]
+    valid = turn_ok & value_ok
+    for c in required:
+        valid = valid & c.isNotNull()
+    return parsed.where(valid).select(
+        F.expr(_named("conv_id")).alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        F.expr(_named("role")).alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.expr(_named("tool")).alias("tool"),
+        F.expr(
+            f"timestampadd(MICROSECOND, time_us, {EPOCH_NTZ})"
+        ).alias("ts"),
+        value.alias("value"),
+    )
+
+
+def read_push_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 64
+) -> DataFrame:
+    """Streaming typed-transcript view of a SubscriptionListener
+    landing dir: one pushed transmission = one text file = one
+    micro-batch unit."""
+    lines = (
+        spark.readStream.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        ).text(landing_dir)
+    )
+    return parse_transcript_wire(lines)

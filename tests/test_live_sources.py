@@ -300,3 +300,25 @@ def test_header_strip_rule():
     assert ls(["HTTP/1.1 200 OK", "H: v", "", "a", "b"]) == ["a", "b"]
     assert ls(["", "a"]) == ["a"]  # empty header block
     assert ls(["only-headers"]) == []
+
+
+def test_transcript_wire_roundtrip_exact(spark, sf_dir):
+    """print(parse(x)) == x for the transcript wire format — µs
+    timestamps (no ns->ms truncation), NULL-value lossy turns, double
+    values round-tripping through CAST(STRING)."""
+    import pandas as pd
+
+    from streamevmon_spark.data.transcripts import load_transcripts
+    from streamevmon_spark.streaming.live_sources import (
+        parse_transcript_wire,
+        transcript_wire_lines,
+    )
+
+    df = load_transcripts(spark, sf_dir)
+    back = parse_transcript_wire(transcript_wire_lines(df))
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts", "value"]
+    key = ["conv_id", "tool", "role", "ts", "turn_idx"]
+    a = df.select(*cols).toPandas().sort_values(key, ignore_index=True)
+    b = back.select(*cols).toPandas().sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["value"].isna().any()  # lossy turns exercised

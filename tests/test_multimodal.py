@@ -161,3 +161,29 @@ def test_real_decode_ppm_roundtrip():
     ) // 1000
     assert (w, h, mode) == (3, 2, "RGB")
     assert abs(mean - float(luma.mean())) < 1e-12
+
+
+def test_synth_bmp_media_decodes_identically_both_paths(spark, sf_dir):
+    """The generated-BMP corpus decodes to the closed-form pixel stats
+    through BOTH real decoder paths: the feature-detected default
+    (Pillow or NumPy fallback) and the explicit numpy_decode — the
+    drop-in-comparable contract of _pil_decode."""
+    from streamevmon_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = MM.synth_bmp_media(docs).localCheckpoint()
+    default = {r.media_id: r for r in MM.decode_image(media).collect()}
+
+    def numpy_only(blob):
+        return MM.numpy_decode(blob)
+
+    explicit = {r.media_id: r
+                for r in MM.decode_image(media, decoder=numpy_only).collect()}
+    assert default.keys() == explicit.keys() and len(default) == 20
+    for mid, r in default.items():
+        did = mid
+        assert r.width == 13 + did % 7 and r.height == 5 + did % 6
+        assert r.mode == "RGB"
+        e = explicit[mid]
+        assert (r.width, r.height, r.mode, r.pixel_mean) == (
+            e.width, e.height, e.mode, e.pixel_mean)
