@@ -171,6 +171,13 @@ def _dedup_verify_mode() -> str:
     return os.environ.get("SPARK_GRAFT_DEDUP_VERIFY_MODE", "global")
 
 
+def _dedup_bucket_budget() -> int | None:
+    """SPARK_GRAFT_DEDUP_BUDGET: band_local hot-bucket task budget in
+    docs (triangle salting above it); unset/0 = no salting."""
+    v = int(os.environ.get("SPARK_GRAFT_DEDUP_BUDGET", "0"))
+    return v if v > 0 else None
+
+
 def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
     """Child body for the training-data-layer scaling axis: exact dedup
     (hash groupBy) + MinHash-LSH near-dup pairs (signatures -> banded
@@ -207,10 +214,13 @@ def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
 
     verify_mode = _dedup_verify_mode()
 
+    budget = _dedup_bucket_budget()
+
     def job() -> None:
         exact_dedup(docs).write.format("noop").mode("overwrite").save()
         minhash_lsh_pairs(
-            docs, threshold=0.5, verify_mode=verify_mode
+            docs, threshold=0.5, verify_mode=verify_mode,
+            bucket_budget=budget,
         ).write.format("noop").mode("overwrite").save()
 
     def sig_job() -> None:
@@ -229,7 +239,12 @@ def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
     # the T32 sig wall 55.8 -> 88 s (heap/page-cache state left by the
     # verify stage's shuffle + Python workers), which contaminates the
     # full-vs-sig stage decomposition both modes rely on.
-    sig_job()  # untimed warm-up (JIT, shuffle buffers)
+    # warm-up knob: at multi-minute walls (8M+ docs) JIT warm-up is
+    # noise and doubling the axis cost isn't worth it — set
+    # SPARK_GRAFT_DEDUP_WARMUPS=0 to time from the first run
+    warmups = int(os.environ.get("SPARK_GRAFT_DEDUP_WARMUPS", "1"))
+    if warmups:
+        sig_job()  # untimed warm-up (JIT, shuffle buffers)
     if os.environ.get("SPARK_GRAFT_PARITY", "0") == "1":
         # sibling settle: under sibling-parity the co-scheduled loops
         # spend their first minutes materializing their own corpus +
@@ -247,7 +262,8 @@ def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
         t0 = time.perf_counter()
         sig_job()
         sig_wall = min(sig_wall, time.perf_counter() - t0)
-    job()  # untimed warm-up for the full pipeline
+    if warmups:
+        job()  # untimed warm-up for the full pipeline
     for _ in range(repeats):
         t0 = time.perf_counter()
         job()
@@ -330,17 +346,107 @@ def _scaling_dedup_sibling(cpus: str, n_docs: int) -> None:
     ).persist()
     docs.count()
     verify_mode = _dedup_verify_mode()
+    budget = _dedup_bucket_budget()
     while True:
         exact_dedup(docs).write.format("noop").mode("overwrite").save()
         minhash_lsh_pairs(
-            docs, threshold=0.5, verify_mode=verify_mode
+            docs, threshold=0.5, verify_mode=verify_mode,
+            bucket_budget=budget,
         ).write.format("noop").mode("overwrite").save()
+
+
+def _graph_edges_df(spark, n_nodes: int, cpus: str):
+    """Deterministic >200k-edge random topology: two hash chords per
+    node (~4-regular, ~log-diameter giant component), well above
+    SMALL_GRAPH_EDGES so connected_components takes the distributed
+    join-rounds path, never the driver-local union-find."""
+    from pyspark.sql import functions as F
+
+    n = n_nodes
+    base = lambda tag: (
+        spark.range(n)
+        .selectExpr(
+            "id AS src_uid",
+            f"pmod(hash(concat('{tag}:', id)), {n}) AS dst_uid",
+        )
+        .where("src_uid != dst_uid")
+    )
+    return (
+        base("g1").union(base("g2"))
+        .repartition(int(cpus) * 2)
+        .persist()
+    )
+
+
+def _scaling_graph_child(cpus: str, n_nodes: int) -> None:
+    """Child body for the distributed-graph scaling axis: iterative
+    min-label connected components + largest-component size over a
+    synthetic topology too large for the driver-local small-graph
+    fallback (operators/graph.py:277,365 join-rounds branches — covered
+    by tests but never timed before r5)."""
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators import graph as G
+
+    spark = build_spark(
+        app_name=f"streamevmon-scaling-graph-{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={cpus}",
+            "spark.driver.memory": f"{max(8, int(cpus))}g",
+        },
+    )
+    edges = _graph_edges_df(spark, n_nodes, cpus)
+    n_edges = edges.count()
+
+    def job() -> None:
+        comp = G.connected_components(edges, max_iters=25)
+        (comp.groupBy("component").count()
+             .orderBy(F.desc("count"), "component").limit(1).collect())
+
+    job()  # untimed warm-up (JIT + shuffle buffers)
+    wall = 1e9
+    for _ in range(int(os.environ.get("SPARK_GRAFT_GRAPH_REPEATS", "2"))):
+        t0 = time.perf_counter()
+        job()
+        wall = min(wall, time.perf_counter() - t0)
+    print(json.dumps({"cpus": int(cpus), "wall_s": round(wall, 3),
+                      "n_nodes": n_nodes, "n_edges": n_edges,
+                      "edges_per_sec": round(n_edges / wall, 1),
+                      "turns_per_sec": round(n_edges / wall, 1)}))
+    spark.stop()
+
+
+def _scaling_graph_sibling(cpus: str, n_nodes: int) -> None:
+    """Sibling-parity load for the graph axis: the identical CC job,
+    looped until killed (see _scaling_sibling)."""
+    from pyspark.sql import functions as F
+
+    from streamevmon_spark.operators import graph as G
+
+    spark = build_spark(
+        app_name=f"streamevmon-scaling-graph-sib-{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={cpus}",
+            "spark.driver.memory": f"{max(8, int(cpus))}g",
+        },
+    )
+    edges = _graph_edges_df(spark, n_nodes, cpus)
+    edges.count()
+    while True:
+        comp = G.connected_components(edges, max_iters=25)
+        (comp.groupBy("component").count()
+             .orderBy(F.desc("count"), "component").limit(1).collect())
 
 
 #: sibling-loop flag per timed-child flag (sibling runs the SAME axis)
 _SIBLING_FLAG = {
     "--scaling-child": "--scaling-sibling",
     "--scaling-dedup-child": "--scaling-dedup-sibling",
+    "--scaling-graph-child": "--scaling-graph-sibling",
 }
 
 
@@ -480,6 +586,23 @@ def main() -> None:
     if "--scaling-dedup-sibling" in sys.argv:
         i = sys.argv.index("--scaling-dedup-sibling")
         _scaling_dedup_sibling(sys.argv[i + 1], int(sys.argv[i + 2]))
+        return
+    if "--scaling-graph-child" in sys.argv:
+        i = sys.argv.index("--scaling-graph-child")
+        _scaling_graph_child(sys.argv[i + 1], int(sys.argv[i + 2]))
+        return
+    if "--scaling-graph-sibling" in sys.argv:
+        i = sys.argv.index("--scaling-graph-sibling")
+        _scaling_graph_sibling(sys.argv[i + 1], int(sys.argv[i + 2]))
+        return
+    if "--scaling-graph" in sys.argv:
+        out = run_scaling(
+            sf_dir,
+            n_turns=int(os.environ.get("SPARK_GRAFT_GRAPH_NODES",
+                                       "300000")),
+            child_flag="--scaling-graph-child",
+        )
+        print(json.dumps(out, indent=2))
         return
     if "--scaling-dedup" in sys.argv:
         out = run_scaling(

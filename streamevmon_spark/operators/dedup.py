@@ -194,6 +194,7 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     band_rows: int = MINHASH_BAND_ROWS,
     verify_mode: str = "global",
+    bucket_budget: int | None = None,
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
@@ -211,9 +212,17 @@ def minhash_lsh_pairs(
       thresholds). Cost moved to the band exchange, which now carries
       ``n_bands`` copies of each doc's shingle set. Output is
       row-identical to ``"global"`` (pytest-pinned).
+
+    ``bucket_budget`` (band_local only): triangle-salt any band bucket
+    larger than this many docs so no single Arrow run carries an
+    unbounded O(B^2) verify — the hot-bucket task-budget guard (see
+    _minhash_lsh_pairs_band_local). None = no salting (buckets map to
+    one run each, the pre-r5 behaviour).
     """
     if verify_mode == "band_local":
-        return _minhash_lsh_pairs_band_local(docs, threshold, k, band_rows)
+        return _minhash_lsh_pairs_band_local(
+            docs, threshold, k, band_rows, bucket_budget
+        )
     if verify_mode != "global":
         raise ValueError(f"unknown verify_mode: {verify_mode!r}")
     sig = minhash_signatures(docs, k)
@@ -323,6 +332,7 @@ def _minhash_lsh_pairs_band_local(
     threshold: float,
     k: int,
     band_rows: int,
+    bucket_budget: int | None = None,
 ) -> DataFrame:
     """Band-local exact-Jaccard verification (the structural
     alternative the r3 scaling diagnosis pointed at: remove the global
@@ -364,6 +374,49 @@ def _minhash_lsh_pairs_band_local(
         "doc_id",
         "sh_arr",
     )
+    if bucket_budget is not None:
+        # Hot-bucket task budget (r5): a band bucket of B docs verifies
+        # O(B^2) pairs in ONE Arrow run — unbounded at 100 TB. Triangle
+        # salting bounds it: docs in a bucket larger than the budget
+        # get salt s = pmod(hash(doc_id), g) with g = ceil(B/budget),
+        # and each doc replicates into the g cells {(min(s,t),
+        # max(s,t)) : t in [0, g)}. A pair with salts (s1 <= s2)
+        # co-locates in EXACTLY the (s1, s2) cell, where the kernel's
+        # salt filter verifies it exactly once — every cell holds
+        # ~2B/g docs, so per-task work is budget-bounded while the
+        # verified relation stays identical (pytest-pinned vs global).
+        sizes = banded.groupBy("band_key").agg(
+            F.count("*").alias("__bsz")
+        )
+        g = f"int(ceil(__bsz / CAST({int(bucket_budget)} AS DOUBLE)))"
+        banded = (
+            banded.join(sizes, "band_key")
+            .withColumn("__g", F.expr(g))
+            .withColumn("salt", F.expr("pmod(hash(doc_id), __g)"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, __g - 1), t -> "
+                        "struct(least(t, salt) AS a, "
+                        "greatest(t, salt) AS b))"
+                    )
+                ).alias("__c"),
+                "band_key",
+                "doc_id",
+                "sh_arr",
+                "salt",
+            )
+            .select(
+                F.expr(
+                    "concat(band_key, ':', __c.a, ':', __c.b)"
+                ).alias("band_key"),
+                F.col("__c.a").alias("cell_a"),
+                F.col("__c.b").alias("cell_b"),
+                "salt",
+                "doc_id",
+                "sh_arr",
+            )
+        )
     part = banded.repartition("band_key").sortWithinPartitions(
         "band_key", "doc_id"
     )
@@ -407,6 +460,11 @@ def _make_band_verifier(threshold: float):
             return empty
         keys = tbl.column("band_key").combine_chunks()
         ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        salted = "salt" in tbl.column_names
+        if salted:
+            salts = tbl.column("salt").to_numpy(zero_copy_only=False)
+            cell_a = tbl.column("cell_a").to_numpy(zero_copy_only=False)
+            cell_b = tbl.column("cell_b").to_numpy(zero_copy_only=False)
         arr_col = tbl.column("sh_arr").combine_chunks()
         lens = pc.list_value_length(arr_col).to_numpy(
             zero_copy_only=False
@@ -439,6 +497,13 @@ def _make_band_verifier(threshold: float):
                 ci = row_codes[i]
                 sa = len(ci)
                 for j in range(i + 1, m):
+                    if salted:
+                        # a salted pair belongs to exactly one cell:
+                        # (min(salts), max(salts)) — skip it elsewhere
+                        si, sj = salts[s + i], salts[s + j]
+                        lo, hi = (si, sj) if si <= sj else (sj, si)
+                        if lo != cell_a[s] or hi != cell_b[s]:
+                            continue
                     cj = row_codes[j]
                     ni = np.intersect1d(
                         ci, cj, assume_unique=True

@@ -76,6 +76,25 @@ def test_minhash_band_local_verify_identical_to_global(spark, docs):
         minhash_lsh_pairs(docs, verify_mode="nope")
 
 
+def test_minhash_band_local_salted_identical(spark, docs):
+    """Triangle salting (bucket_budget) must not change the verified
+    relation: a tiny budget forces EVERY bucket through the salted
+    cell path (g > 1), and the output must still be bit-identical to
+    the unsalted band-local and global modes — the hot-bucket split is
+    a pure execution-shape change."""
+    from streamevmon_spark.operators.dedup import minhash_lsh_pairs
+
+    g = minhash_lsh_pairs(docs, threshold=0.2).toPandas()
+    for budget in (1, 2, 1_000_000):
+        s = minhash_lsh_pairs(
+            docs, threshold=0.2, verify_mode="band_local",
+            bucket_budget=budget,
+        ).toPandas()
+        gset = {(r.doc_a, r.doc_b, r.jaccard) for r in g.itertuples()}
+        sset = {(r.doc_a, r.doc_b, r.jaccard) for r in s.itertuples()}
+        assert sset == gset, f"budget={budget}"
+
+
 def test_simhash_exact_dups_have_zero_hamming(spark, docs):
     from pyspark.sql import functions as F
 
