@@ -135,3 +135,23 @@ def test_grouped_sink_equals_grouping_pipeline(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, hand.collect())
     )
+
+
+def test_shipped_default_flows_yaml_builds_and_runs(spark):
+    """conf/flows.yaml (the reference's shipped default DAG mapped to
+    the transcripts model) must parse, validate and execute end-to-end
+    — a user's first `run_flows.py` invocation cannot fail on the
+    example we ship."""
+    import os
+
+    from streamevmon_spark.plans.flows import build_flows
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "conf", "flows.yaml",
+    )
+    with open(path) as fh:
+        sinks = build_flows(spark, fh.read(), SF)
+    assert set(sinks) == {"all_events", "grouped"}
+    for df in sinks.values():
+        assert df.count() >= 0  # executes without error
