@@ -192,3 +192,52 @@ def test_meta_decl_matches_scala(spark):
     for k, cols in A.AMP_META_COLS.items():
         df = A.synth_amp_meta(spark, k, n_streams=3)
         assert df.columns == ["stream", "source", "destination"] + cols
+
+
+RICH_ORDERS = {
+    # Rich* case-class column order after (line_id, subtype):
+    # meta head, then the base measurement's own fields, then time
+    # (amp/RichICMP.scala, RichDNS.scala, RichTCPPing.scala,
+    # RichHTTP.scala, RichTraceroutePathlen.scala)
+    "icmp": ["stream", "source", "destination", "family",
+             "packet_size_selection", "loss", "lossrate", "median",
+             "packet_size", "results", "rtts", "time"],
+    "dns": ["stream", "source", "destination", "instance", "address",
+            "query", "query_type", "query_class", "udp_payload_size",
+            "recurse", "dnssec", "nsid", "flag_aa", "flag_ad",
+            "flag_cd", "flag_qr", "flag_ra", "flag_rd", "flag_tc",
+            "lossrate", "opcode", "query_len", "rcode", "requests",
+            "response_size", "rtt", "total_additional", "total_answer",
+            "total_authority", "ttl", "time"],
+    "tcpping": ["stream", "source", "destination", "port", "family",
+                "packet_size_selection", "icmperrors", "loss",
+                "lossrate", "median", "packet_size", "results", "rtts",
+                "time"],
+    "http": ["stream", "source", "destination", "max_connections",
+             "max_connections_per_server",
+             "max_persistent_connections_per_server",
+             "pipelining_max_requests", "persist", "pipelining",
+             "caching", "bytes", "duration", "object_count",
+             "server_count", "time"],
+    "pathlen": ["stream", "source", "destination", "family",
+                "packet_size_selection", "path_length", "time"],
+}
+
+
+@pytest.mark.parametrize("type_key,meta_key", [
+    ("icmp", "icmp"), ("dns", "dns"), ("tcpping", "tcpping"),
+    ("http", "http"), ("pathlen", "traceroute"),
+])
+def test_rich_column_orders_match_scala(spark, type_key, meta_key):
+    """enrich_amp over every typed table reproduces the corresponding
+    Rich* case class's declared column order (meta head before base
+    fields) — pathlen enriches with TracerouteMeta, as
+    enrichMeasurement dispatches it (InfluxMeasurementFactory:252)."""
+    toks = _tokens(spark, ALL_LINES)
+    base = A.amp_table(toks, type_key)
+    rich = A.enrich_amp(base, A.synth_amp_meta(spark, meta_key, 20))
+    got = [c for c in rich.columns
+           if c not in ("line_id", "subtype",
+                        "default_value", "is_lossy")]
+    assert got == RICH_ORDERS[type_key]
+    assert rich.count() > 0
