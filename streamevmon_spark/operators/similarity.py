@@ -43,6 +43,14 @@ def with_norm(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return vecs.withColumn("__norm", F.sqrt(_dot(vec_col, vec_col)))
 
 
+# Brute-force cosine_topk scans the WHOLE corpus per query batch;
+# above this many rows that is an ANN problem, not a scan — the guard
+# raises and points at lsh_ann_topk / ivf_ann_topk (bounded probe:
+# count of a limit(n+1) relation stops the scan early, nothing
+# collects to the driver).
+BRUTE_FORCE_MAX_ROWS = 10_000_000
+
+
 def cosine_topk(
     vecs: DataFrame,
     n_queries: int = 10,
@@ -50,7 +58,18 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbours (by cosine) of the first ``n_queries``
     vectors (vec_id < n_queries) over the whole corpus (self excluded).
-    Deterministic tie-break: higher cosine first, then lower vec_id."""
+    Deterministic tie-break: higher cosine first, then lower vec_id.
+
+    This is the documented exact BASELINE (one broadcast of the tiny
+    query side + a linear corpus scan — no shuffle); the scale paths
+    are ``lsh_ann_topk`` / ``ivf_ann_topk``, and corpora above
+    BRUTE_FORCE_MAX_ROWS are rejected rather than silently scanned."""
+    if vecs.limit(BRUTE_FORCE_MAX_ROWS + 1).count() > BRUTE_FORCE_MAX_ROWS:
+        raise ValueError(
+            f"cosine_topk: corpus exceeds {BRUTE_FORCE_MAX_ROWS} rows — "
+            "brute force is the baseline, not the scale path; use "
+            "lsh_ann_topk or ivf_ann_topk"
+        )
     v = with_norm(vecs)
     q = v.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),

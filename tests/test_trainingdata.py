@@ -295,3 +295,18 @@ def test_generated_documents_planted_families(spark):
     pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
     same_family = [p for p in pairs if p.doc_a // 5 == p.doc_b // 5]
     assert len(same_family) >= 100 * 4 // 5  # most intra-family pairs
+
+
+def test_cosine_topk_guard(spark, monkeypatch):
+    """Brute-force cosine_topk refuses corpora above the bounded-probe
+    threshold and points at the ANN paths."""
+    from streamevmon_spark.operators import similarity as S
+
+    vecs = spark.range(10).selectExpr(
+        "id AS vec_id", "array(1.0, 0.0) AS embedding"
+    )
+    monkeypatch.setattr(S, "BRUTE_FORCE_MAX_ROWS", 5)
+    with pytest.raises(ValueError, match="lsh_ann_topk"):
+        S.cosine_topk(vecs, n_queries=2, k=2)
+    monkeypatch.setattr(S, "BRUTE_FORCE_MAX_ROWS", 1000)
+    assert S.cosine_topk(vecs, n_queries=2, k=2).count() > 0
