@@ -1963,6 +1963,23 @@ def _q_amp_tcpping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AM.amp_table(_amp_tokens_shared(spark, sf_dir), "tcpping")
 
 
+def _q_amp_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-typed AMP HTTP relation (two required ints, byte-
+    emptiness isLossy; reference measurements/amp/HTTP.scala)."""
+    from streamevmon_spark.sources import amp as AM
+
+    return AM.amp_table(_amp_tokens_shared(spark, sf_dir), "http")
+
+
+def _q_amp_pathlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-typed AMP TraceroutePathlen relation (bare-double
+    field, constant-false isLossy; reference
+    measurements/amp/TraceroutePathlen.scala)."""
+    from streamevmon_spark.sources import amp as AM
+
+    return AM.amp_table(_amp_tokens_shared(spark, sf_dir), "pathlen")
+
+
 def _q_amp_rich_icmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RichICMP: the typed ICMP relation broadcast-enriched with the
     Postgres ICMPMeta dim (meta columns before base fields, stream
@@ -2181,6 +2198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amp_dns": _q_amp_dns,
         "amp_tcpping": _q_amp_tcpping,
         "amp_rich_icmp": _q_amp_rich_icmp,
+        "amp_http": _q_amp_http,
+        "amp_pathlen": _q_amp_pathlen,
         # --- new r5: real image decode over a generated-BMP corpus
         # (r4 verdict task #6) + the former rows-only trio, whose new
         # digest oracles need a driver record (r4 verdict task #5)
@@ -2825,6 +2844,8 @@ def oracle_sql() -> dict[str, str]:
         "amp_dns": amp_oracles.amp_dns_oracle(),
         "amp_tcpping": amp_oracles.amp_tcpping_oracle(),
         "amp_rich_icmp": amp_oracles.amp_rich_icmp_oracle(),
+        "amp_http": amp_oracles.amp_http_oracle(),
+        "amp_pathlen": amp_oracles.amp_pathlen_oracle(),
         "amp2_typed": amp2_oracles.amp2_typed_oracle(),
         "amp2_throughput": amp2_oracles.amp2_throughput_oracle(),
         "amp2_latency": amp2_oracles.amp2_latency_oracle(),

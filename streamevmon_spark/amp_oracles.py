@@ -190,3 +190,41 @@ FROM ({_icmp_like(0)}) i
 JOIN meta m ON CAST(i.stream AS INT) = m.mstream
 ORDER BY i.line_id
 """
+
+
+def amp_http_oracle() -> str:
+    return f"""
+WITH {_BASE}
+SELECT event_id AS line_id,
+       'http' AS subtype,
+       stream,
+       CASE WHEN lossy THEN NULL
+            ELSE 1000 + event_id % 7000 END AS bytes,
+       event_id % 2000 AS duration,
+       8 AS object_count,
+       1 + event_id % 3 AS server_count,
+       time,
+       CASE WHEN lossy THEN NULL
+            ELSE CAST(1000 + event_id % 7000 AS DOUBLE) END
+           AS default_value,
+       lossy AS is_lossy
+FROM base WHERE m = 2
+ORDER BY line_id
+"""
+
+
+def amp_pathlen_oracle() -> str:
+    return f"""
+WITH {_BASE}
+SELECT event_id AS line_id,
+       'pathlen' AS subtype,
+       stream,
+       CASE WHEN event_id % 13 = 0 THEN NULL
+            ELSE CAST(4 + event_id % 12 AS DOUBLE) END AS path_length,
+       time,
+       CASE WHEN event_id % 13 = 0 THEN NULL
+            ELSE CAST(4 + event_id % 12 AS DOUBLE) END AS default_value,
+       FALSE AS is_lossy
+FROM base WHERE m = 4
+ORDER BY line_id
+"""
