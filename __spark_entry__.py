@@ -2181,8 +2181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 entries. STANDING RULE (r2+r3 lesson): every query with no
     # driver CORRECTNESS record ever — including everything added this
     # round — goes at the FRONT; r0N-green rows fill the window behind
-    # them, most-stale first. The union of r01..r04 driver records then
-    # covers every registered query.
+    # them, most-stale first. r5 state: positions 1-14 are the never
+    # -checked set (the 3 r4 1d twins, the 9-query AMP v1 family +
+    # decode-real, and the re-oracled ex-rows-only trio); the union of
+    # r01..r05 driver records then covers every registered query.
     return {
         # --- r5 FRONT: the only 3 of the r4 surface with no driver
         # CORRECTNESS record ever (r4 verdict task #1) — the 1d
