@@ -178,6 +178,12 @@ def _dedup_bucket_budget() -> int | None:
     return v if v > 0 else None
 
 
+def _dedup_hashed() -> bool:
+    """SPARK_GRAFT_DEDUP_HASHED=1: band_local ships xxhash64 shingle
+    values instead of strings (the exchange-volume lever)."""
+    return os.environ.get("SPARK_GRAFT_DEDUP_HASHED", "0") == "1"
+
+
 def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
     """Child body for the training-data-layer scaling axis: exact dedup
     (hash groupBy) + MinHash-LSH near-dup pairs (signatures -> banded
@@ -215,12 +221,13 @@ def _scaling_dedup_child(cpus: str, n_docs: int) -> None:
     verify_mode = _dedup_verify_mode()
 
     budget = _dedup_bucket_budget()
+    hashed = _dedup_hashed()
 
     def job() -> None:
         exact_dedup(docs).write.format("noop").mode("overwrite").save()
         minhash_lsh_pairs(
             docs, threshold=0.5, verify_mode=verify_mode,
-            bucket_budget=budget,
+            bucket_budget=budget, hash_shingles=hashed,
         ).write.format("noop").mode("overwrite").save()
 
     def sig_job() -> None:

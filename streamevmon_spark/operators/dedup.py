@@ -195,6 +195,7 @@ def minhash_lsh_pairs(
     band_rows: int = MINHASH_BAND_ROWS,
     verify_mode: str = "global",
     bucket_budget: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """LSH candidate generation + exact Jaccard verification.
 
@@ -221,7 +222,7 @@ def minhash_lsh_pairs(
     """
     if verify_mode == "band_local":
         return _minhash_lsh_pairs_band_local(
-            docs, threshold, k, band_rows, bucket_budget
+            docs, threshold, k, band_rows, bucket_budget, hash_shingles
         )
     if verify_mode != "global":
         raise ValueError(f"unknown verify_mode: {verify_mode!r}")
@@ -333,6 +334,7 @@ def _minhash_lsh_pairs_band_local(
     k: int,
     band_rows: int,
     bucket_budget: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Band-local exact-Jaccard verification (the structural
     alternative the r3 scaling diagnosis pointed at: remove the global
@@ -365,7 +367,23 @@ def _minhash_lsh_pairs_band_local(
         F.min(F.expr(hex32_sql(f"concat('{i}:', shingle)"))).alias(f"mh{i}")
         for i in range(k)
     ]
-    aggs.append(F.collect_list("shingle").alias("sh_arr"))
+    # hash_shingles (opt-in, the 100 TB exchange shape): ship each
+    # doc's shingle set as xxhash64 values instead of strings — the
+    # band exchange (n_bands copies of every set, the measured
+    # single-box wall at 8M docs) carries 8 bytes/shingle instead of a
+    # word-3-gram string. Intersection counts on 64-bit hashes equal
+    # true counts unless two DIFFERENT shingles of a compared pair
+    # collide: P ~ |A||B|/2^64 ~ 1e-15 per pair, ~1e-5 expected wrong
+    # pairs across a 10^10-candidate corpus — quantified, documented,
+    # and OFF by default (the default stays bit-exact by construction;
+    # the Arrow kernel is unchanged — dictionary_encode works on int64
+    # exactly as on strings).
+    if hash_shingles:
+        aggs.append(
+            F.collect_list(F.xxhash64("shingle")).alias("sh_arr")
+        )
+    else:
+        aggs.append(F.collect_list("shingle").alias("sh_arr"))
     sig = sh.groupBy("doc_id").agg(*aggs)
     banded = sig.select(
         F.explode(F.array(*_band_key_exprs(k, band_rows))).alias(

@@ -310,3 +310,23 @@ def test_cosine_topk_guard(spark, monkeypatch):
         S.cosine_topk(vecs, n_queries=2, k=2)
     monkeypatch.setattr(S, "BRUTE_FORCE_MAX_ROWS", 1000)
     assert S.cosine_topk(vecs, n_queries=2, k=2).count() > 0
+
+
+def test_minhash_band_local_hashed_identical(spark, docs):
+    """The opt-in hashed-shingle exchange (xxhash64 per shingle — the
+    band exchange carries 8 bytes/shingle instead of strings) must
+    produce the identical verified relation at any collision-free
+    scale, alone and combined with triangle salting."""
+    from streamevmon_spark.operators.dedup import minhash_lsh_pairs
+
+    g = {(r.doc_a, r.doc_b, r.jaccard)
+         for r in minhash_lsh_pairs(docs, threshold=0.2).collect()}
+    h = {(r.doc_a, r.doc_b, r.jaccard)
+         for r in minhash_lsh_pairs(
+             docs, threshold=0.2, verify_mode="band_local",
+             hash_shingles=True).collect()}
+    hb = {(r.doc_a, r.doc_b, r.jaccard)
+          for r in minhash_lsh_pairs(
+              docs, threshold=0.2, verify_mode="band_local",
+              hash_shingles=True, bucket_budget=2).collect()}
+    assert h == g and hb == g and g
