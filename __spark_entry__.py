@@ -2230,6 +2230,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup", "minhash_lsh_pairs", threshold=0.2,
             verify_mode="band_local",
         ),
+        # new r5: the hot-bucket triangle-salting path (bucket_budget=2
+        # forces EVERY bucket through salted cells at sf0.01) and the
+        # hashed-exchange path — both pinned row-identical to the same
+        # oracle as the string/unsalted modes
+        "dedup_minhash_lsh_salted": _q_docs(
+            "dedup", "minhash_lsh_pairs", threshold=0.2,
+            verify_mode="band_local", bucket_budget=2,
+        ),
+        "dedup_minhash_lsh_hashed": _q_docs(
+            "dedup", "minhash_lsh_pairs", threshold=0.2,
+            verify_mode="band_local", hash_shingles=True,
+        ),
         # newest r4: regression/symbolic analytics (operators/regress)
         "trend_fit_1h": _q_trend_fit_1h,
         "tool_lag_corr": _q_tool_lag_corr,
@@ -2801,6 +2813,8 @@ def oracle_sql() -> dict[str, str]:
             0.2, 50
         ),
         "dedup_minhash_lsh": docs_oracles.minhash_lsh_oracle(0.2),
+        "dedup_minhash_lsh_salted": docs_oracles.minhash_lsh_oracle(0.2),
+        "dedup_minhash_lsh_hashed": docs_oracles.minhash_lsh_oracle(0.2),
         "dedup_minhash_lsh_bandlocal": docs_oracles.minhash_lsh_oracle(0.2),
         "dedup_simhash": docs_oracles.simhash_oracle(),
         "dedup_simhash_pairs": docs_oracles.simhash_pairs_oracle(6),
